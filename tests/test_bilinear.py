@@ -1,0 +1,83 @@
+"""Bilinear upsample: interpolation-matrix path vs direct transposed-conv oracle."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from zeroshotsemanticsegmentation_tpu.ops import (
+    bilinear_filter_1d,
+    bilinear_upsampling_kernel,
+    upsample_matrix,
+    upsample_bilinear_cropped,
+)
+
+
+def conv_transpose_oracle(x, kernel, stride):
+    """Direct numpy transposed conv, NHWC input, HWIO kernel, zero padding."""
+    b, h, w, cin = x.shape
+    kh, kw, _, cout = kernel.shape
+    out = np.zeros((b, (h - 1) * stride + kh, (w - 1) * stride + kw, cout))
+    for i in range(h):
+        for j in range(w):
+            patch = np.einsum("bc,hwcd->bhwd", x[:, i, j, :], kernel)
+            out[:, i * stride:i * stride + kh, j * stride:j * stride + kw, :] += patch
+    return out
+
+
+def test_filter_matches_closed_form():
+    # odd kernel: symmetric triangle peaking at 1
+    f = bilinear_filter_1d(7)
+    assert f[3] == 1.0
+    np.testing.assert_allclose(f, f[::-1])
+    # even kernel 4, stride 2 classic: [0.25, 0.75, 0.75, 0.25]
+    np.testing.assert_allclose(bilinear_filter_1d(4), [0.25, 0.75, 0.75, 0.25])
+
+
+def test_kernel_is_diagonal_separable():
+    k = bilinear_upsampling_kernel(3, 8)
+    assert k.shape == (8, 8, 3, 3)
+    f = bilinear_filter_1d(8)
+    for c in range(3):
+        np.testing.assert_allclose(k[:, :, c, c], np.outer(f, f), rtol=1e-6)
+    # off-diagonal channels are zero
+    k2 = k.copy()
+    for c in range(3):
+        k2[:, :, c, c] = 0
+    assert np.all(k2 == 0)
+
+
+@pytest.mark.parametrize("in_len,stride,ksize,crop,out_len", [
+    (17, 32, 64, 19, 512),   # canonical FCN-32s geometry for 512x512 inputs
+    (5, 32, 64, 19, 64),
+    (4, 2, 4, 1, 6),
+])
+def test_upsample_matrix_rows_sum(in_len, stride, ksize, crop, out_len):
+    m = upsample_matrix(in_len, stride, ksize, crop, out_len)
+    assert m.shape == (out_len, in_len)
+    # interior rows of a bilinear interpolation matrix sum to 1
+    interior = m[(np.arange(out_len) + crop >= ksize - stride)
+                 & (np.arange(out_len) + crop < (in_len - 1) * stride + stride)]
+    np.testing.assert_allclose(interior.sum(axis=1), 1.0, atol=1e-6)
+
+
+@pytest.mark.parametrize("h,w,c,stride,ksize,crop", [
+    (5, 7, 3, 32, 64, 19),
+    (4, 4, 2, 2, 4, 1),
+    (9, 6, 20, 8, 16, 4),
+])
+def test_matches_conv_transpose_oracle(rng, h, w, c, stride, ksize, crop):
+    x = rng.randn(2, h, w, c).astype(np.float32)
+    kernel = bilinear_upsampling_kernel(c, ksize, dtype=np.float64)
+    full = conv_transpose_oracle(x.astype(np.float64), kernel, stride)
+    out_h = (h - 1) * stride + ksize - 2 * crop
+    out_w = (w - 1) * stride + ksize - 2 * crop
+    want = full[:, crop:crop + out_h, crop:crop + out_w, :]
+    got = upsample_bilinear_cropped(
+        jnp.asarray(x), stride=stride, kernel_size=ksize, crop_offset=crop,
+        out_h=out_h, out_w=out_w)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+
+
+def test_crop_out_of_range_raises():
+    with pytest.raises(ValueError):
+        upsample_matrix(4, 2, 4, 3, 8)  # full = 10, 3+8 > 10

@@ -1,0 +1,136 @@
+"""FCN-32s with dual heads — TPU-native Flax implementation.
+
+Capability parity with the reference FCN32s (models.py:27-193): a VGG16
+convolutional stack with the classic FCN pad-100/crop-19 geometry, fc6/fc7 as
+convolutions with channel dropout, a `score_fr` head into the joint embedding
+space (n_class = embed_dim for zero-shot, 21 for the softmax baseline) and a
+parallel 2-channel `seenmask_score` head.
+
+TPU-first deviations from the reference design (behavior-preserving):
+
+* NHWC layout and bfloat16-capable compute dtype (params stay fp32).
+* The ×32 bilinear upscore ConvTranspose2d — whose weights the reference
+  never optimizes (train.py:324-327) — is a *fixed function* here, computed as
+  two small dense matmuls (`ops.bilinear`), numerically equal to the
+  reference's transposed conv + `[:, :, 19:19+H, 19:19+W]` crop
+  (models.py:93-98,145-151).
+* Heads are only computed for the requested `mode` ∈ {fcn, seenmask, both};
+  the reference computes both unconditionally and discards one
+  (models.py:145-158). Under jit XLA would DCE the dead head anyway; being
+  explicit keeps the traced program minimal.
+* Variable-size images are handled by padding to a static bucket with
+  ignore-labels (XLA needs static shapes) rather than per-image shapes; conv
+  zero-padding makes interior activations identical either way.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from zeroshotsemanticsegmentation_tpu.ops.bilinear import upsample_bilinear_cropped
+
+# FCN-32s geometry constants (reference models.py:43,93-98,147)
+_PAD_CONV1 = 100
+_UPSAMPLE_STRIDE = 32
+_UPSAMPLE_KERNEL = 64
+_CROP_OFFSET = 19
+
+# (name, out_channels) per VGG16 conv block; pools after each block
+_VGG_BLOCKS = (
+    (("conv1_1", 64), ("conv1_2", 64)),
+    (("conv2_1", 128), ("conv2_2", 128)),
+    (("conv3_1", 256), ("conv3_2", 256), ("conv3_3", 256)),
+    (("conv4_1", 512), ("conv4_2", 512), ("conv4_3", 512)),
+    (("conv5_1", 512), ("conv5_2", 512), ("conv5_3", 512)),
+)
+
+
+def _max_pool_ceil(x: jnp.ndarray) -> jnp.ndarray:
+    """2×2/2 max-pool with ceil_mode=True (reference models.py:47 etc.).
+
+    Odd spatial dims are right/bottom padded (with -inf, inside nn.max_pool)
+    so the trailing row/col forms its own window.
+    """
+    ph = (-x.shape[1]) % 2
+    pw = (-x.shape[2]) % 2
+    return nn.max_pool(x, (2, 2), strides=(2, 2),
+                       padding=((0, ph), (0, pw)))
+
+
+class FCN32s(nn.Module):
+    """VGG16-layout fully-convolutional net with embedding + seenmask heads.
+
+    Attributes:
+      num_classes: channels of the fcn head (embed_dim, or class count for the
+        cross-entropy baseline).
+      dtype: compute dtype for convs (bfloat16 for throughput, float32 for
+        strict reference parity). Params are always `param_dtype`.
+      dropout_rate: channel dropout after fc6/fc7 (Dropout2d semantics:
+        whole channels dropped per sample, reference models.py:86,91).
+    """
+
+    num_classes: int
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+    dropout_rate: float = 0.5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = False,
+                 mode: str = "both"):
+        if mode not in ("fcn", "seenmask", "both"):
+            raise ValueError(f"unexpected forward mode: {mode!r}")
+        in_h, in_w = x.shape[1], x.shape[2]
+
+        def conv(h, name, features, kernel, padding):
+            return nn.Conv(features, kernel, padding=padding, dtype=self.dtype,
+                           param_dtype=self.param_dtype, name=name)(h)
+
+        h = x.astype(self.dtype)
+        for b, block in enumerate(_VGG_BLOCKS):
+            for c, (name, features) in enumerate(block):
+                pad = _PAD_CONV1 if (b == 0 and c == 0) else 1
+                h = nn.relu(conv(h, name, features, (3, 3),
+                                 ((pad, pad), (pad, pad))))
+            h = _max_pool_ceil(h)
+
+        h = nn.relu(conv(h, "fc6", 4096, (7, 7), "VALID"))
+        h = nn.Dropout(self.dropout_rate, broadcast_dims=(1, 2),
+                       deterministic=not train)(h)
+        h = nn.relu(conv(h, "fc7", 4096, (1, 1), "VALID"))
+        h = nn.Dropout(self.dropout_rate, broadcast_dims=(1, 2),
+                       deterministic=not train)(h)
+
+        # Both 1x1 head convs always exist as params (the reference module owns
+        # both heads whichever mode runs); only the requested head is upsampled
+        # and XLA dead-code-eliminates an unused score conv under jit.
+        f_small = conv(h, "score_fr", self.num_classes, (1, 1), "VALID")
+        s_small = conv(h, "seenmask_score", 2, (1, 1), "VALID")
+
+        def up(s):
+            return upsample_bilinear_cropped(
+                s.astype(jnp.float32), stride=_UPSAMPLE_STRIDE,
+                kernel_size=_UPSAMPLE_KERNEL, crop_offset=_CROP_OFFSET,
+                out_h=in_h, out_w=in_w)
+
+        if mode == "fcn":
+            return up(f_small)
+        if mode == "seenmask":
+            return up(s_small)
+        return up(f_small), up(s_small)
+
+
+def min_input_size() -> int:
+    """Smallest square input the pad-100/crop-19 geometry supports."""
+    for size in range(1, 256):
+        h = size + 2 * _PAD_CONV1 - 2  # conv1_1: 3x3 with pad 100
+        for _ in range(5):
+            h = -(-h // 2)  # ceil-mode pool halving (pad-1 convs preserve size)
+        fc = h - 6  # fc6: 7x7 VALID
+        if fc >= 1:
+            up = (fc - 1) * _UPSAMPLE_STRIDE + _UPSAMPLE_KERNEL
+            if _CROP_OFFSET + size <= up:
+                return size
+    raise AssertionError("unreachable")

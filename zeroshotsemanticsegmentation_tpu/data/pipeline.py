@@ -1,0 +1,143 @@
+"""Batched, prefetched host pipeline feeding static-shape device batches.
+
+TPU-native replacement for the reference's DataLoader(batch_size=1,
+num_workers=8) over variable-size images (train.py:81-84): samples are decoded
+in a thread pool, padded to a fixed bucket (XLA static shapes), stacked into
+(B, H, W, ·) batches, and handed to the trainer while the next batch decodes
+in the background (single-stage pipelining; the device step overlaps host
+decode).
+
+Partial final batches are padded with all-ignore dummy samples (label -1
+everywhere) so jitted step shapes never change; masked losses/metrics make the
+dummies contribute exactly nothing.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from zeroshotsemanticsegmentation_tpu.data.transforms import (
+    DEFAULT_BUCKET, PAD_LABEL, pad_to_bucket)
+
+
+class BatchLoader:
+    """Iterates dict batches: image (B,bh,bw,3) f32, label (B,bh,bw) i32,
+    ids (list[str], '' for dummies), sizes (B,2) i32, num_real (int)."""
+
+    def __init__(self, dataset, batch_size: int, *,
+                 bucket_hw: tuple[int, int] = DEFAULT_BUCKET,
+                 shuffle: bool = False, seed: int = 1337,
+                 drop_remainder: bool = False,
+                 num_threads: int = 4, prefetch: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.bucket_hw = bucket_hw
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_remainder = drop_remainder
+        self.num_threads = num_threads
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        """Reseeds the shuffle (deterministic per epoch)."""
+        self.epoch = epoch
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_remainder:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def _order(self) -> np.ndarray:
+        n = len(self.dataset)
+        if not self.shuffle:
+            return np.arange(n)
+        return np.random.RandomState(self.seed + self.epoch).permutation(n)
+
+    def _assemble(self, samples) -> dict:
+        bh, bw = self.bucket_hw
+        b = self.batch_size
+        image = np.zeros((b, bh, bw, 3), np.float32)
+        label = np.full((b, bh, bw), PAD_LABEL, np.int32)
+        sizes = np.zeros((b, 2), np.int32)
+        ids = [""] * b
+        for i, s in enumerate(samples):
+            img, lbl = pad_to_bucket(s["image"], s["label"], self.bucket_hw)
+            image[i], label[i] = img, lbl
+            sizes[i] = s["size"]
+            ids[i] = s["id"]
+        return {"image": image, "label": label, "sizes": sizes, "ids": ids,
+                "num_real": len(samples)}
+
+    def __iter__(self):
+        order = self._order()
+        if self.drop_remainder:
+            order = order[:len(order) - len(order) % self.batch_size]
+        chunks = [order[i:i + self.batch_size]
+                  for i in range(0, len(order), self.batch_size)]
+
+        out: queue.Queue = queue.Queue(maxsize=max(1, self.prefetch))
+        stop = threading.Event()
+
+        def produce():
+            with ThreadPoolExecutor(max_workers=self.num_threads) as pool:
+                for chunk in chunks:
+                    if stop.is_set():
+                        return
+                    samples = list(pool.map(self.dataset.__getitem__, chunk))
+                    out.put(self._assemble(samples))
+            out.put(None)
+
+        worker = threading.Thread(target=produce, daemon=True)
+        worker.start()
+        try:
+            while True:
+                batch = out.get()
+                if batch is None:
+                    return
+                yield batch
+        finally:
+            stop.set()
+
+
+class SyntheticDataset:
+    """Deterministic random dataset for tests and hardware benchmarks.
+
+    Produces images/labels with the same contract as the real datasets
+    (transformed float32 HWC around 0, int32 labels with some -1 ignore
+    pixels) without touching disk.
+    """
+
+    dataset_name = "synthetic"
+
+    def __init__(self, num_images: int = 64, *, num_classes: int = 21,
+                 size_range: tuple[int, int] = (320, 500), seed: int = 0,
+                 class_names: tuple[str, ...] | None = None):
+        self.num_images = num_images
+        self.num_classes = num_classes
+        self.size_range = size_range
+        self.seed = seed
+        self.class_names = class_names or tuple(
+            f"class_{i}" for i in range(num_classes))
+
+    def __len__(self) -> int:
+        return self.num_images
+
+    def __getitem__(self, index: int) -> dict:
+        rng = np.random.RandomState(self.seed * 100003 + int(index))
+        lo, hi = self.size_range
+        h = int(rng.randint(lo, hi + 1))
+        w = int(rng.randint(lo, hi + 1))
+        img = rng.randn(h, w, 3).astype(np.float32) * 40.0
+        # blocky labels (coarse random class regions) + sparse ignore pixels
+        ch = rng.randint(0, self.num_classes, size=(8, 8))
+        lbl = np.kron(ch, np.ones((-(-h // 8), -(-w // 8)), np.int64))[:h, :w]
+        lbl = lbl.astype(np.int32)
+        lbl[rng.rand(h, w) < 0.02] = -1
+        return {"image": img, "label": lbl, "id": f"synthetic_{index}",
+                "size": (h, w)}

@@ -1,20 +1,28 @@
-"""Test config: force CPU with 8 virtual devices before JAX initializes.
+"""Test config: force CPU with 8 virtual devices.
 
-Multi-chip sharding paths are exercised on a fake 8-device CPU mesh
-(XLA_FLAGS=--xla_force_host_platform_device_count=8), per the framework's
-test strategy (no multi-chip TPU hardware in CI).
+The environment's axon sitecustomize claims the TPU and pins
+JAX_PLATFORMS=axon at interpreter startup, so plain env vars in this file are
+too late — but the backend itself initializes lazily, so overriding via
+jax.config before the first computation still works. Multi-chip sharding
+tests run on the resulting fake 8-device CPU mesh.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
 
-import numpy as np
-import pytest
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+assert jax.devices()[0].platform == "cpu", "tests must run on CPU"
+assert len(jax.devices()) == 8, "tests expect 8 virtual CPU devices"
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
 
 
 @pytest.fixture

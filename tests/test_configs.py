@@ -1,0 +1,54 @@
+"""Config presets, validation rules, run-name encoding."""
+
+import datetime
+
+import pytest
+
+from zeroshotsemanticsegmentation_tpu.configs import (
+    PRESETS, get_config, run_name, validate_config)
+
+
+def test_preset_ids_match_reference():
+    assert sorted(PRESETS) == [1, 2, 4, 14, 15, 16, 17, 18, 19]
+
+
+def test_preset_14_values():
+    cfg = PRESETS[14]
+    assert cfg.dataset == "pascal" and cfg.embed_dim == 20
+    assert cfg.train_unseen == (1, 13)
+    assert cfg.val_unseen == (6, 7, 10, 14, 15, 16, 17, 18, 19, 20)
+    assert cfg.fcn_epochs == 90 and cfg.fcn_lr == 1e-5
+    assert cfg.fcn_loss == "cos" and cfg.fcn_optim == "adam"
+    assert cfg.seenmask_epochs == 10 and cfg.seenmask_lr == 1e-3
+    assert cfg.early_stop_images == 425_000
+    assert PRESETS[18].early_stop_images == 247_000
+
+
+def test_validation_rules():
+    # one-hot dim mismatch (reference train.py:235-239)
+    with pytest.raises(ValueError):
+        validate_config(PRESETS[2].replace(one_hot_embed=True, embed_dim=20))
+    # test mode without load path (train.py:241-242)
+    with pytest.raises(ValueError):
+        validate_config(PRESETS[15].replace(load_fcn_path=""))
+    # seenmask without train_unseen (train.py:247-248)
+    with pytest.raises(ValueError):
+        validate_config(PRESETS[14].replace(train_unseen=()))
+    # embedding loss without embed_dim (train.py:250-251)
+    with pytest.raises(ValueError):
+        validate_config(PRESETS[1].replace(fcn_loss="cos"))
+    # fine config passes + overrides work
+    cfg = get_config(14, batch_size=8, eval_batch_size=4, data_parallel=4)
+    assert cfg.batch_size == 8
+    # eval batch must divide by data_parallel too
+    with pytest.raises(ValueError):
+        get_config(14, batch_size=8, data_parallel=4)
+
+
+def test_run_name_encoding():
+    now = datetime.datetime(2026, 1, 2, 3, 4, 5)
+    n = run_name(14, PRESETS[14], now=now)
+    assert n.startswith("CFG_14_MODE_train_DATASET_pascal_TRAIN_UNSEEN_True_"
+                        "VAL_UNSEEN_True_EMBED_DIM_20_")
+    assert "FCN_LOSS_cos" in n and n.endswith("TIME_20260102-030405_")
+    assert "FORCED_UNSEEN" not in n  # optional flags omitted when false

@@ -1,0 +1,96 @@
+"""Multi-chip sharding on the fake 8-device CPU mesh.
+
+Checks that the DP+TP-sharded train step is numerically equivalent to the
+single-device step (same params after updates), that TP actually shards the
+fc6/fc7 kernels across the 'model' axis, and that batches shard on 'data'.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zeroshotsemanticsegmentation_tpu.models import FCN32s
+from zeroshotsemanticsegmentation_tpu.parallel import (
+    make_mesh, param_pspecs, shard_batch, shard_params)
+from zeroshotsemanticsegmentation_tpu.train import make_fcn_optimizer
+from zeroshotsemanticsegmentation_tpu.train.state import TrainState
+from zeroshotsemanticsegmentation_tpu.train.steps import make_fcn_train_step
+from jax.sharding import PartitionSpec as P
+
+
+def build(rng, batch=4):
+    model = FCN32s(num_classes=8, channel_scale=1 / 16)
+    x = jnp.asarray(rng.randn(batch, 64, 64, 3).astype(np.float32))
+    label = jnp.asarray(rng.randint(-1, 8, (batch, 64, 64)).astype(np.int32))
+    sizes = jnp.asarray(np.full((batch, 2), 64, np.int32))
+    embed = rng.randn(8, 8).astype(np.float32)
+    embed /= np.linalg.norm(embed, axis=1, keepdims=True)
+    params = model.init(jax.random.PRNGKey(0), x[:1], mode="both")["params"]
+    batch_dict = {"image": x, "label": label, "sizes": sizes,
+                  "num_real": jnp.asarray(batch, jnp.int32)}
+    return model, params, batch_dict, jnp.asarray(embed)
+
+
+def run_steps(model, params, batch, embed, mesh, n_steps=2):
+    tx = make_fcn_optimizer(params, optim="adam", lr=1e-3)
+    if mesh is not None:
+        params = shard_params(params, mesh)
+        batch = shard_batch({k: np.asarray(v) for k, v in batch.items()}, mesh)
+    opt_state = jax.jit(tx.init)(params)
+    state = TrainState(params=params, opt_state=opt_state,
+                       step=jnp.zeros((), jnp.int32))
+    step = make_fcn_train_step(model, tx, loss_name="cos", num_classes=8,
+                               embeddings=embed)
+    key = jax.random.PRNGKey(42)
+    for _ in range(n_steps):
+        state, aux = step(state, batch, key)
+    return state, aux
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(4, 2)
+    assert mesh.shape == {"data": 4, "model": 2}
+    mesh = make_mesh()  # defaults: all devices on data axis
+    assert mesh.shape == {"data": 8, "model": 1}
+
+
+def test_tp_pspecs():
+    mesh = make_mesh(4, 2)
+    rng = np.random.RandomState(0)
+    model, params, batch, embed = build(rng)
+    specs = param_pspecs(params)
+    assert specs["fc6"]["kernel"] == P(None, None, None, "model")
+    assert specs["fc7"]["kernel"] == P(None, None, "model", None)
+    assert specs["conv1_1"]["kernel"] == P()
+    sp = shard_params(params, mesh)
+    # fc6 kernel physically split over the model axis
+    shard_shape = sp["fc6"]["kernel"].sharding.shard_shape(
+        sp["fc6"]["kernel"].shape)
+    assert shard_shape[-1] == sp["fc6"]["kernel"].shape[-1] // 2
+    sb = shard_batch({k: np.asarray(v) for k, v in batch.items()}, mesh)
+    assert sb["image"].sharding.shard_shape(sb["image"].shape)[0] == 1  # 4/4
+
+
+def test_dp_tp_matches_single_device(rng):
+    model, params, batch, embed = build(rng)
+    ref_state, ref_aux = run_steps(model, params, batch, embed, mesh=None)
+    mesh = make_mesh(4, 2)
+    dp_state, dp_aux = run_steps(model, params, batch, embed, mesh=mesh)
+    np.testing.assert_allclose(float(ref_aux["loss"]), float(dp_aux["loss"]),
+                               rtol=1e-5)
+    flat_ref = jax.tree_util.tree_leaves(ref_state.params)
+    flat_dp = jax.tree_util.tree_leaves(dp_state.params)
+    for a, b in zip(flat_ref, flat_dp):
+        # psum changes fp reduction order; adam's sqrt(v) amplifies the noise
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=1e-4)
+    # histograms identical (integer)
+    np.testing.assert_array_equal(np.asarray(ref_aux["hist"]),
+                                  np.asarray(dp_aux["hist"]))
+
+
+def test_dp_only_mesh(rng):
+    model, params, batch, embed = build(rng, batch=8)
+    mesh = make_mesh(8, 1)
+    state, aux = run_steps(model, params, batch, embed, mesh=mesh, n_steps=1)
+    assert np.isfinite(float(aux["loss"]))

@@ -1,0 +1,122 @@
+"""End-to-end training smoke tests: both stages, checkpoints, resume, logs.
+
+Uses a thin model (channel_scale) + tiny synthetic data so the full pipeline
+(config -> data -> model -> two-stage training -> test modes) runs on CPU in
+seconds while exercising every layer of the framework.
+"""
+
+import glob
+import os.path as osp
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from zeroshotsemanticsegmentation_tpu.cli.train import run_experiment
+from zeroshotsemanticsegmentation_tpu.configs import Config
+from zeroshotsemanticsegmentation_tpu.train import checkpoint as ckpt
+
+
+def tiny_cfg(**kw) -> Config:
+    base = dict(
+        mode="train", dataset="pascal", embed_dim=20, fcn_epochs=2,
+        fcn_lr=1e-3, fcn_loss="cos", fcn_optim="adam", seenmask_epochs=0,
+        train_unseen=(1, 13), val_unseen=(6, 7),
+        batch_size=2, eval_batch_size=2, bucket=(64, 64),
+        compute_dtype="float32", channel_scale=1 / 32, num_viz=2,
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+def run_tiny(tmp_path, cfg, **kw):
+    return run_experiment(cfg, preset=0, data_dir=str(tmp_path),
+                          log_dir=str(tmp_path / kw.pop("log_name", "run")),
+                          synthetic=True, verbose=False, **kw)
+
+
+def test_fcn_stage_end_to_end(tmp_path):
+    cfg = tiny_cfg()
+    out = run_experiment(cfg, preset=0, data_dir=str(tmp_path),
+                         synthetic=True, verbose=False)
+    log_dir = out["log_dir"]
+    # config dump, counts, train/val CSVs with reference headers
+    assert osp.exists(osp.join(log_dir, "config.yaml"))
+    counts = pd.read_csv(osp.join(log_dir, "counts.csv"))
+    assert list(counts.columns) == ["train_seen", "train_unseen", "val"]
+    tr = pd.read_csv(osp.join(log_dir, "train_log.csv"))
+    assert list(tr.columns)[:3] == ["epoch", "iteration", "train/loss"]
+    assert len(tr) == 2 * 3  # 2 epochs x ceil(6/2) batches (train_seen ds)
+    assert np.isfinite(tr["train/loss"]).all()
+    va = pd.read_csv(osp.join(log_dir, "val_log.csv"))
+    assert "val/seen/mean_iu" in va.columns and "val/unseen/mean_iu" in va.columns
+    assert len(va) == 2
+    # checkpoints + best exist; viz tiles written
+    assert ckpt.checkpoint_exists(osp.join(log_dir, "checkpoint"))
+    assert ckpt.checkpoint_exists(osp.join(log_dir, "best"))
+    assert glob.glob(osp.join(log_dir, "fcn_viz", "epoch*.jpg"))
+
+
+def test_training_reduces_loss(tmp_path):
+    cfg = tiny_cfg(fcn_epochs=4, fcn_lr=3e-3)
+    out = run_tiny(tmp_path, cfg)
+    tr = pd.read_csv(osp.join(out["log_dir"], "train_log.csv"))
+    first, last = tr["train/loss"].iloc[0], tr["train/loss"].iloc[-1]
+    assert last < first, (first, last)
+
+
+def test_full_szn_pipeline_and_test_all(tmp_path):
+    cfg = tiny_cfg(seenmask_epochs=2)
+    out = run_tiny(tmp_path, cfg, log_name="szn")
+    log_dir = out["log_dir"]
+    sm = pd.read_csv(osp.join(log_dir, "seenmask_train_log.csv"))
+    assert len(sm) == 2 * 4  # 2 epochs x ceil(8/2) batches (train ds)
+    assert osp.exists(osp.join(log_dir, "seenmask_val_log.csv"))
+    assert glob.glob(osp.join(log_dir, "seenmask_viz", "epoch*.jpg"))
+
+    # test_all from the saved best checkpoint (SZN stitched inference)
+    cfg2 = tiny_cfg(mode="test_all", fcn_epochs=0,
+                    load_fcn_path=osp.join(log_dir, "best"))
+    out2 = run_tiny(tmp_path, cfg2, log_name="szn_test")
+    assert np.isfinite(out2["mean_iu"])
+    assert glob.glob(osp.join(out2["log_dir"], "szn_viz", "epoch*.jpg"))
+
+
+def test_checkpoint_resume_roundtrip(tmp_path):
+    cfg = tiny_cfg(fcn_epochs=1)
+    out = run_tiny(tmp_path, cfg, log_name="first")
+    best = ckpt.restore_checkpoint(osp.join(out["log_dir"], "best"))
+    assert best["arch"] == "FCN32s"
+    assert best["epoch"] == 0
+
+    # resume: params restored, epoch continues
+    cfg2 = tiny_cfg(fcn_epochs=2)
+    out2 = run_tiny(tmp_path, cfg2, log_name="second",
+                    resume=osp.join(out["log_dir"], "best"))
+    tr = pd.read_csv(osp.join(out2["log_dir"], "train_log.csv"))
+    # resumed at epoch 1 -> only epoch 1 trained (3 batches)
+    assert tr["epoch"].tolist() == [1, 1, 1]
+    assert tr["iteration"].iloc[0] == best["iteration"]
+
+
+def test_forced_unseen_oracle_mode(tmp_path):
+    cfg = tiny_cfg(fcn_epochs=1, forced_unseen=True)
+    out = run_tiny(tmp_path, cfg, log_name="forced")
+    va = pd.read_csv(osp.join(out["log_dir"], "val_log.csv"))
+    assert np.isfinite(va["val/mean_iu"]).all()
+
+
+def test_cross_entropy_baseline(tmp_path):
+    cfg = tiny_cfg(embed_dim=0, fcn_loss="cross_entropy", fcn_optim="sgd",
+                   fcn_lr=1e-10, train_unseen=(), val_unseen=(),
+                   seenmask_epochs=0)
+    out = run_tiny(tmp_path, cfg, log_name="ce")
+    va = pd.read_csv(osp.join(out["log_dir"], "val_log.csv"))
+    assert "val/seen/mean_iu" not in va.columns  # no zero-shot breakdown
+    assert np.isfinite(va["val/loss"]).all()
+
+
+def test_one_hot_embed_mode(tmp_path):
+    cfg = tiny_cfg(embed_dim=21, one_hot_embed=True, fcn_epochs=1)
+    out = run_tiny(tmp_path, cfg, log_name="onehot")
+    assert osp.exists(osp.join(out["log_dir"], "train_log.csv"))

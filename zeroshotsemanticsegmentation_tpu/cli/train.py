@@ -1,0 +1,253 @@
+"""Experiment driver: config → data → model → two-stage training / testing.
+
+CLI-compatible with the reference entry point (train.py:16-200):
+``python -m zeroshotsemanticsegmentation_tpu.cli.train -c 14`` runs the
+8/2/10 PASCAL zero-shot SZN pipeline end to end (FCN stage, then seenmask
+stage, checkpoints, CSV/TB logs). TPU-native flags add batching, dtype, mesh
+axes, and a --synthetic mode for air-gapped smoke runs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os.path as osp
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zeroshotsemanticsegmentation_tpu.configs import (
+    PRESETS, get_config, run_name)
+from zeroshotsemanticsegmentation_tpu.data import (
+    BatchLoader, PascalContext, PascalVOC, SyntheticDataset,
+    load_class_embeddings)
+from zeroshotsemanticsegmentation_tpu.models import (
+    FCN32s, load_vgg16_into_params)
+from zeroshotsemanticsegmentation_tpu.train import (
+    FCNTrainer, SeenmaskTrainer, make_fcn_optimizer, make_seenmask_optimizer)
+from zeroshotsemanticsegmentation_tpu.train import checkpoint as ckpt
+from zeroshotsemanticsegmentation_tpu.utils import RunLogger
+
+
+def _build_datasets(cfg, *, data_dir, synthetic):
+    if synthetic:
+        mk = lambda n, seed: SyntheticDataset(  # noqa: E731
+            num_images=n, num_classes=cfg.num_classes,
+            size_range=(64, min(cfg.bucket)), seed=seed)
+        return mk(8, 0), mk(6, 1), mk(4, 2)
+    cls = PascalVOC if cfg.dataset == "pascal" else PascalContext
+    kw = dict(data_dir=data_dir, val_unseen=list(cfg.val_unseen))
+    train = cls("train", **kw)
+    train_seen = cls("train_seen", train_unseen=list(cfg.train_unseen), **kw)
+    val = cls("val", **kw)
+    return train, train_seen, val
+
+
+def run_experiment(cfg, *, preset: int = 0, name: str | None = None,
+                   data_dir: str = "data", tb_dir: str | None = None,
+                   log_dir: str | None = None, synthetic: bool = False,
+                   vgg16_path: str | None = None, resume: str = "",
+                   mesh=None, verbose: bool = True) -> dict:
+    """Build and run one experiment; returns summary dict.
+
+    Mirrors reference main() wiring: FCN trains on the *train_seen* loader,
+    the seenmask stage on the *train* loader (train.py:144,185 — the
+    asymmetry is the method); test modes only validate.
+    """
+    try:  # persistent XLA compilation cache: big graphs recompile in ~1s
+        jax.config.update("jax_compilation_cache_dir",
+                          osp.expanduser("~/.cache/zss_jax_cache"))
+    except Exception:
+        pass
+    log_dir = log_dir or osp.join(data_dir, "logs",
+                                  run_name(preset, cfg, name=name))
+    logger = RunLogger(log_dir, tb_dir=tb_dir, verbose=verbose)
+    logger.dump_config(dataclasses.asdict(cfg))
+
+    # 1. data
+    train_ds, train_seen_ds, val_ds = _build_datasets(
+        cfg, data_dir=data_dir, synthetic=synthetic)
+    mk_loader = lambda ds, bs, sh: BatchLoader(  # noqa: E731
+        ds, bs, bucket_hw=tuple(cfg.bucket), shuffle=sh, seed=cfg.seed)
+    train_loader = mk_loader(train_ds, cfg.batch_size, True)
+    train_seen_loader = mk_loader(train_seen_ds, cfg.batch_size, True)
+    val_loader = mk_loader(val_ds, cfg.eval_batch_size, False)
+
+    counts = [str(len(train_seen_ds)), str(len(train_ds) - len(train_seen_ds)),
+              str(len(val_ds))]
+    logger.csv_append("counts.csv", ["train_seen", "train_unseen", "val"],
+                      counts)
+    for tag, v in zip(["num/train_seen", "num/train_unseen", "num/val"],
+                      counts):
+        logger.text(tag, v)
+
+    # 2. embeddings (NNE always uses the word2vec matrix; regression targets
+    # use one-hot when cfg.one_hot_embed — reference trainer_fcn.py:49)
+    embeddings = target_embeddings = None
+    if cfg.embed_dim:
+        if synthetic:
+            r = np.random.RandomState(0).randn(
+                cfg.num_classes, cfg.embed_dim).astype(np.float32)
+            embeddings = r / np.linalg.norm(r, axis=1, keepdims=True)
+        else:
+            embeddings = load_class_embeddings(cfg.dataset, cfg.embed_dim)
+        target_embeddings = embeddings
+        if cfg.one_hot_embed:
+            target_embeddings = (np.eye(cfg.num_classes, dtype=np.float32)
+                                 if synthetic else
+                                 load_class_embeddings(cfg.dataset,
+                                                       cfg.embed_dim,
+                                                       one_hot=True))
+
+    # 3. model + init
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    model = FCN32s(num_classes=cfg.head_channels, dtype=dtype,
+                   channel_scale=cfg.channel_scale)
+    sample = jnp.zeros((1, cfg.bucket[0], cfg.bucket[1], 3), jnp.float32)
+    params = jax.jit(
+        lambda: model.init(jax.random.PRNGKey(cfg.seed), sample,
+                           mode="both"))()["params"]
+
+    start_epoch = start_iteration = 0
+    best_mean_iu = 0.0
+    load_path = resume or cfg.load_fcn_path
+    checkpoint = None
+    if load_path:
+        path = load_path if ckpt.checkpoint_exists(load_path) else osp.join(
+            data_dir, "logs", load_path, "best")
+        checkpoint = ckpt.restore_checkpoint(path)
+        params = _merge_params(params, checkpoint["params"])
+        # checkpoint['epoch'] is the last *completed* epoch; training resumes
+        # after it (the reference re-runs every epoch on resume — train.py:295
+        # ignores the restored counter — which we treat as a bug, not parity)
+        start_epoch = int(checkpoint["epoch"]) + 1
+        start_iteration = int(checkpoint["iteration"])
+        best_mean_iu = float(checkpoint["best_mean_iu"])
+    elif vgg16_path:
+        params = load_vgg16_into_params(params, vgg16_path)
+
+    # 4. stage-1 trainer
+    tx = make_fcn_optimizer(params, optim=cfg.fcn_optim, lr=cfg.fcn_lr)
+    fcn_trainer = FCNTrainer(
+        cfg=cfg, model=model, tx=tx, params=params,
+        train_loader=train_seen_loader, val_loader=val_loader, logger=logger,
+        embeddings=embeddings, target_embeddings=target_embeddings,
+        start_epoch=start_epoch, start_iteration=start_iteration,
+        best_mean_iu=best_mean_iu, mesh=mesh)
+
+    summary = {"log_dir": log_dir}
+    if cfg.mode == "train":
+        if cfg.fcn_epochs > 0:
+            fcn_trainer.train()
+        if cfg.seenmask_epochs > 0:
+            # stage 2 starts from the best stage-1 weights (train.py:177-179)
+            best = ckpt.restore_checkpoint(osp.join(log_dir, "best"))
+            params2 = _merge_params(fcn_trainer.state.params, best["params"])
+            tx2 = make_seenmask_optimizer(params2, lr=cfg.seenmask_lr)
+            seenmask_trainer = SeenmaskTrainer(
+                cfg=cfg, model=model, tx=tx2, params=params2,
+                train_loader=train_loader, val_loader=val_loader,
+                logger=logger, mesh=mesh)
+            seenmask_trainer.train(base_checkpoint={
+                "epoch": int(best["epoch"]),
+                "best_mean_iu": float(best["best_mean_iu"])})
+            summary["seenmask_best_mean_iu"] = seenmask_trainer.best_mean_iu
+        summary["best_mean_iu"] = fcn_trainer.best_mean_iu
+    elif cfg.mode == "test_fcn":
+        summary["mean_iu"] = fcn_trainer.validate(both_fcn_and_seenmask=False)
+    elif cfg.mode == "test_all":
+        summary["mean_iu"] = fcn_trainer.validate(both_fcn_and_seenmask=True)
+    logger.close()
+    return summary
+
+
+def _merge_params(params, loaded):
+    """strict=False load (reference train.py:114): copy matching entries."""
+    out = jax.tree_util.tree_map(lambda x: x, params)
+    for module, leaves in loaded.items():
+        if module in out:
+            for k, v in leaves.items():
+                if k in out[module] and np.shape(v) == np.shape(out[module][k]):
+                    out[module][k] = jnp.asarray(v)
+    return out
+
+
+def _parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("-n", "--name", type=str, default=None)
+    p.add_argument("-c", "--config", type=int, default=1,
+                   choices=sorted(PRESETS.keys()))
+    p.add_argument("-dir", "--data_dir", type=str, default="data")
+    p.add_argument("-tb", "--tb_dir", type=str, default=None)
+    p.add_argument("-m", "--mode", type=str,
+                   choices=["train", "test_fcn", "test_all"])
+    p.add_argument("-d", "--dataset", type=str, choices=["pascal", "context"])
+    p.add_argument("-tu", "--train_unseen", type=str,
+                   help="comma-separated unseen class ids for train filtering")
+    p.add_argument("-vu", "--val_unseen", type=str)
+    p.add_argument("-e", "--embed_dim", type=int,
+                   choices=[2, 5, 10, 20, 21, 50, 100, 200, 300])
+    p.add_argument("-ve", "--fcn_epochs", type=int)
+    p.add_argument("-lr", "--fcn_learning_rate", type=float)
+    p.add_argument("-loss", "--fcn_loss", type=str,
+                   choices=["cos", "mse", "cross_entropy"])
+    p.add_argument("-o", "--fcn_optim", type=str, choices=["sgd", "adam"])
+    p.add_argument("-se", "--seenmask_epochs", type=int)
+    p.add_argument("-slr", "--seenmask_learning_rate", type=float)
+    p.add_argument("-oh", "--one_hot_embed", action="store_true")
+    p.add_argument("-fu", "--forced_unseen", action="store_true")
+    p.add_argument("-r", "--resume", type=str, default="")
+    # TPU-native flags
+    p.add_argument("--batch_size", type=int)
+    p.add_argument("--eval_batch_size", type=int)
+    p.add_argument("--dtype", type=str, choices=["bfloat16", "float32"])
+    p.add_argument("--data_parallel", type=int)
+    p.add_argument("--model_parallel", type=int)
+    p.add_argument("--synthetic", action="store_true",
+                   help="synthetic data (smoke runs without datasets)")
+    p.add_argument("--vgg16", type=str, default=None,
+                   help="path to a torch VGG16 state dict (.pth)")
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> dict:
+    args = _parse_args(argv)
+    overrides = {}
+    for src, dst in [("mode", "mode"), ("dataset", "dataset"),
+                     ("embed_dim", "embed_dim"), ("fcn_epochs", "fcn_epochs"),
+                     ("fcn_learning_rate", "fcn_lr"), ("fcn_loss", "fcn_loss"),
+                     ("fcn_optim", "fcn_optim"),
+                     ("seenmask_epochs", "seenmask_epochs"),
+                     ("seenmask_learning_rate", "seenmask_lr"),
+                     ("batch_size", "batch_size"),
+                     ("eval_batch_size", "eval_batch_size"),
+                     ("dtype", "compute_dtype"),
+                     ("data_parallel", "data_parallel"),
+                     ("model_parallel", "model_parallel")]:
+        v = getattr(args, src)
+        if v is not None:
+            overrides[dst] = v
+    for flag in ["one_hot_embed", "forced_unseen"]:
+        if getattr(args, flag):
+            overrides[flag] = True
+    for lst in ["train_unseen", "val_unseen"]:
+        v = getattr(args, lst)
+        if v:
+            overrides[lst] = tuple(int(x) for x in v.split(","))
+    if args.resume:
+        overrides["load_fcn_path"] = args.resume
+
+    cfg = get_config(args.config, **overrides)
+    mesh = None
+    if cfg.data_parallel * cfg.model_parallel > 1:
+        from zeroshotsemanticsegmentation_tpu.parallel import make_mesh
+        mesh = make_mesh(cfg.data_parallel, cfg.model_parallel)
+    return run_experiment(cfg, preset=args.config, name=args.name,
+                          data_dir=args.data_dir, tb_dir=args.tb_dir,
+                          synthetic=args.synthetic, vgg16_path=args.vgg16,
+                          resume=args.resume, mesh=mesh)
+
+
+if __name__ == "__main__":
+    main()

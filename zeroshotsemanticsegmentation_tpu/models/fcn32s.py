@@ -76,6 +76,7 @@ class FCN32s(nn.Module):
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
     dropout_rate: float = 0.5
+    channel_scale: float = 1.0  # <1 shrinks all backbone widths (tests/dryruns)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False,
@@ -83,6 +84,9 @@ class FCN32s(nn.Module):
         if mode not in ("fcn", "seenmask", "both"):
             raise ValueError(f"unexpected forward mode: {mode!r}")
         in_h, in_w = x.shape[1], x.shape[2]
+
+        def width(f: int) -> int:
+            return max(8, int(f * self.channel_scale))
 
         def conv(h, name, features, kernel, padding):
             return nn.Conv(features, kernel, padding=padding, dtype=self.dtype,
@@ -92,14 +96,14 @@ class FCN32s(nn.Module):
         for b, block in enumerate(_VGG_BLOCKS):
             for c, (name, features) in enumerate(block):
                 pad = _PAD_CONV1 if (b == 0 and c == 0) else 1
-                h = nn.relu(conv(h, name, features, (3, 3),
+                h = nn.relu(conv(h, name, width(features), (3, 3),
                                  ((pad, pad), (pad, pad))))
             h = _max_pool_ceil(h)
 
-        h = nn.relu(conv(h, "fc6", 4096, (7, 7), "VALID"))
+        h = nn.relu(conv(h, "fc6", width(4096), (7, 7), "VALID"))
         h = nn.Dropout(self.dropout_rate, broadcast_dims=(1, 2),
                        deterministic=not train)(h)
-        h = nn.relu(conv(h, "fc7", 4096, (1, 1), "VALID"))
+        h = nn.relu(conv(h, "fc7", width(4096), (1, 1), "VALID"))
         h = nn.Dropout(self.dropout_rate, broadcast_dims=(1, 2),
                        deterministic=not train)(h)
 

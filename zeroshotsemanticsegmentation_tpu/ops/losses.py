@@ -56,10 +56,14 @@ def mse_loss(score: jnp.ndarray, target: jnp.ndarray,
 
 
 def _l2_normalize(x: jnp.ndarray) -> jnp.ndarray:
-    norm = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True))
     # The reference divides by the raw norm (utils.py:87-91); a zero-norm pixel
     # would NaN there and trip its NaN guard. We define 0/0 := 0 instead.
-    return x / jnp.where(norm == 0, 1.0, norm)
+    # Double-where keeps sqrt away from 0 so the *backward* pass stays finite
+    # at exactly-zero vectors (e.g. static-shape padding regions): the cheap
+    # `where(norm==0, 1, norm)` form still NaNs in grad via 0 * d(sqrt(0)).
+    norm2 = jnp.sum(x * x, axis=-1, keepdims=True)
+    norm = jnp.sqrt(jnp.where(norm2 == 0, 1.0, norm2))
+    return x / norm
 
 
 def cosine_loss(score: jnp.ndarray, target: jnp.ndarray,

@@ -29,10 +29,11 @@ def cosine_similarities(score: jnp.ndarray, embeddings: jnp.ndarray) -> jnp.ndar
     s = score.astype(jnp.float32)
     e = embeddings.astype(jnp.float32)
     sims = jnp.einsum("...c,kc->...k", s, e, preferred_element_type=jnp.float32)
-    s_norm = jnp.sqrt(jnp.sum(s * s, axis=-1, keepdims=True))
-    e_norm = jnp.sqrt(jnp.sum(e * e, axis=-1))
-    s_norm = jnp.where(s_norm == 0, 1.0, s_norm)
-    e_norm = jnp.where(e_norm == 0, 1.0, e_norm)
+    # double-where: keeps the (rarely used) backward pass finite at zero norms
+    s_norm2 = jnp.sum(s * s, axis=-1, keepdims=True)
+    e_norm2 = jnp.sum(e * e, axis=-1)
+    s_norm = jnp.sqrt(jnp.where(s_norm2 == 0, 1.0, s_norm2))
+    e_norm = jnp.sqrt(jnp.where(e_norm2 == 0, 1.0, e_norm2))
     return sims / (s_norm * e_norm)
 
 

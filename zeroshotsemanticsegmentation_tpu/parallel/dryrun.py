@@ -1,0 +1,89 @@
+"""Multi-chip dry run: jit the full training step over an n-device mesh.
+
+Builds the real full-width FCN32s, shards it DP×TP over a ('data', 'model')
+mesh, runs ONE optimizer step plus one SZN eval step on tiny (64×64) shapes,
+and asserts everything is finite. Used by the driver on N virtual CPU devices
+to validate the multi-chip path without TPU hardware; also runnable directly:
+
+    JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python -m zeroshotsemanticsegmentation_tpu.parallel.dryrun 8
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+
+def run(n_devices: int, *, channel_scale: float = 1.0,
+        bucket: int = 64) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    devices = jax.devices()
+    if len(devices) < n_devices:
+        raise RuntimeError(
+            f"need {n_devices} devices, found {len(devices)} "
+            f"({devices[0].platform}); set "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count={n_devices}")
+
+    from zeroshotsemanticsegmentation_tpu.models import FCN32s
+    from zeroshotsemanticsegmentation_tpu.parallel import (
+        make_mesh, replicate, shard_batch, shard_params)
+    from zeroshotsemanticsegmentation_tpu.train import make_fcn_optimizer
+    from zeroshotsemanticsegmentation_tpu.train.state import TrainState
+    from zeroshotsemanticsegmentation_tpu.train.steps import (
+        make_fcn_train_step, make_szn_eval_step)
+    from zeroshotsemanticsegmentation_tpu.ops.metrics import unseen_mask_vector
+
+    model_axis = 2 if n_devices % 2 == 0 and n_devices >= 4 else 1
+    data_axis = n_devices // model_axis
+    mesh = make_mesh(data_axis, model_axis, devices=devices[:n_devices])
+
+    rng = np.random.RandomState(0)
+    batch_size = data_axis  # one sample per data shard
+    model = FCN32s(num_classes=20, channel_scale=channel_scale)
+    x = rng.randn(batch_size, bucket, bucket, 3).astype(np.float32) * 40
+    label = rng.randint(-1, 21, (batch_size, bucket, bucket)).astype(np.int32)
+    sizes = np.full((batch_size, 2), bucket, np.int32)
+    embed = rng.randn(21, 20).astype(np.float32)
+    embed /= np.linalg.norm(embed, axis=1, keepdims=True)
+
+    params = jax.jit(lambda: model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, bucket, bucket, 3)),
+        mode="both"))()["params"]
+    params = shard_params(params, mesh)
+    emb = replicate(jnp.asarray(embed), mesh)
+    unseen_vec = replicate(
+        jnp.asarray(unseen_mask_vector(21, [1, 13])), mesh)
+
+    tx = make_fcn_optimizer(params, optim="adam", lr=1e-5)
+    opt_state = jax.jit(tx.init)(params)
+    state = TrainState(params=params, opt_state=opt_state,
+                       step=jnp.zeros((), jnp.int32))
+    batch = shard_batch({"image": x, "label": label, "sizes": sizes,
+                         "num_real": np.int32(batch_size)}, mesh)
+
+    train_step = make_fcn_train_step(model, tx, loss_name="cos",
+                                     num_classes=21, embeddings=emb)
+    state, aux = train_step(state, batch, jax.random.PRNGKey(1))
+    loss = float(aux["loss"])
+    assert np.isfinite(loss), f"non-finite train loss {loss}"
+    assert int(state.step) == 1
+
+    eval_step = make_szn_eval_step(model, loss_name="cos", num_classes=21,
+                                   embeddings=emb, all_unseen_vec=unseen_vec,
+                                   val_unseen_vec=unseen_vec)
+    out = eval_step(state.params, batch)
+    assert np.isfinite(float(out["loss_sum"]))
+
+    result = {"devices": n_devices, "mesh": dict(mesh.shape),
+              "train_loss": loss, "eval_loss": float(out["loss_sum"]),
+              "platform": devices[0].platform}
+    print(f"dryrun_multichip OK: {result}", flush=True)
+    return result
+
+
+if __name__ == "__main__":
+    run(int(sys.argv[1]) if len(sys.argv) > 1 else 8)

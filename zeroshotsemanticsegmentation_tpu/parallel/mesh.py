@@ -1,0 +1,99 @@
+"""Scale-out: device mesh + sharding rules (no reference equivalent).
+
+The reference is strictly single-process single-GPU batch-1 (SURVEY §2:
+no torch.distributed / NCCL anywhere); scale-out here is designed TPU-first:
+
+* mesh axes ('data', 'model') over `jax.sharding.Mesh`;
+* **DP**: batches sharded on 'data'; parameters replicated; XLA/GSPMD inserts
+  the gradient psum over ICI automatically (params replicated + batch sharded
+  ⇒ reduced grads) — there is no hand-written collective code to maintain;
+* **TP**: fc6/fc7 form a 25088→4096→4096 MLP holding ~86% of the model's
+  parameters — sharded Megatron-style on 'model' (fc6 column-parallel: kernel
+  sharded on output channels; fc7 row-parallel: kernel sharded on input
+  channels, activation psum after fc7). All convs and heads are replicated.
+* **PP/EP/CP**: not applicable to a 16-layer convnet with no experts and no
+  sequence dimension (documented out of scope, SURVEY §2).
+
+Everything goes through jit: we only place data (`jax.device_put` with
+`NamedSharding`) and let the compiler propagate + insert collectives.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+# fc6 column-parallel, fc7 row-parallel (kernel layout HWIO)
+_TP_RULES = {
+    "fc6": {"kernel": P(None, None, None, MODEL_AXIS),
+            "bias": P(MODEL_AXIS)},
+    "fc7": {"kernel": P(None, None, MODEL_AXIS, None),
+            "bias": P()},
+}
+
+
+def make_mesh(data: int | None = None, model: int = 1,
+              devices=None) -> Mesh:
+    """('data', 'model') mesh; `data` defaults to n_devices // model."""
+    devices = list(devices if devices is not None else jax.devices())
+    if data is None:
+        data = len(devices) // model
+    if data * model > len(devices):
+        raise ValueError(
+            f"mesh {data}x{model} needs {data * model} devices, "
+            f"have {len(devices)}")
+    grid = np.asarray(devices[:data * model]).reshape(data, model)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def param_pspecs(params) -> dict:
+    """PartitionSpec tree for a FCN32s param tree: TP on fc6/fc7, rest replicated."""
+    def spec_for(module: str, leaf: str):
+        return _TP_RULES.get(module, {}).get(leaf, P())
+
+    return {
+        module: {leaf: spec_for(module, leaf) for leaf in leaves}
+        for module, leaves in params.items()
+    }
+
+
+def batch_pspecs(batch: dict) -> dict:
+    """Batch arrays sharded on the leading ('data') axis; scalars replicated."""
+    out = {}
+    for k, v in batch.items():
+        if k == "ids":
+            continue
+        arr = np.asarray(v)
+        if arr.ndim == 0:
+            out[k] = P()
+        else:
+            out[k] = P(DATA_AXIS, *([None] * (arr.ndim - 1)))
+    return out
+
+
+def shard_params(params, mesh: Mesh):
+    specs = param_pspecs(params)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs,
+        is_leaf=lambda x: not isinstance(x, dict))
+
+
+def shard_batch(batch: dict, mesh: Mesh) -> dict:
+    specs = batch_pspecs(batch)
+    out = {}
+    for k, v in batch.items():
+        if k == "ids":
+            out[k] = v
+        else:
+            out[k] = jax.device_put(np.asarray(v), NamedSharding(mesh, specs[k]))
+    return out
+
+
+def replicate(tree, mesh: Mesh):
+    """Fully replicate a pytree over the mesh (e.g. embedding matrices)."""
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree)

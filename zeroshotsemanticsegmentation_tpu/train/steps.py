@@ -1,0 +1,223 @@
+"""Jitted train/eval step factories for both training stages.
+
+Single XLA program per step: forward, loss, backward, optimizer update,
+NNE inference and on-device confusion matrices all fuse under jit — the
+reference syncs scores/labels to host every iteration instead
+(trainer_fcn.py:111-118, utils.py:182-185), which is its throughput sink.
+
+Per-sample losses (vmap over the batch) generalize the reference's
+batch-size-1 losses exactly: a batch step averages the per-image losses, so
+at batch_size=1 the numbers coincide with the reference and dummy padding
+samples (all labels -1) contribute zero.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from zeroshotsemanticsegmentation_tpu.ops import (
+    confusion_matrix, cosine_loss, cross_entropy2d,
+    infer_labels, infer_labels_forced_unseen, infer_labels_szn,
+    mse_loss, zeroshot_hists)
+
+
+def _per_sample_fcn_loss(loss_name: str, embeddings):
+    """(H,W,C) score, (H,W) label -> scalar loss; exact reference semantics."""
+    def loss_one(score, label):
+        score, label = score[None], label[None]
+        if loss_name == "cross_entropy":
+            return cross_entropy2d(score, label, size_average=False)
+        target_embed = embeddings[jnp.clip(label, 0, None)]
+        if loss_name == "cos":
+            return cosine_loss(score, label, target_embed)
+        if loss_name == "mse":
+            return mse_loss(score, label, target_embed)
+        raise ValueError(loss_name)
+    return loss_one
+
+
+def _pad_mask(sizes: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """(B, H, W) bool: True where the pixel is bucket padding (outside the
+    original image extent), derived from per-sample (h, w) sizes."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (1, h, w), 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, h, w), 2)
+    return ((rows >= sizes[:, 0, None, None]) |
+            (cols >= sizes[:, 1, None, None]))
+
+
+def _fcn_infer(score, label, embeddings, *, forced_unseen, all_unseen_vec):
+    if embeddings is None:
+        return jnp.argmax(score, axis=-1).astype(jnp.int32)
+    if forced_unseen:
+        return infer_labels_forced_unseen(score, label, embeddings,
+                                          all_unseen_vec)
+    return infer_labels(score, embeddings)
+
+
+def make_fcn_train_step(model, tx, *, loss_name: str, num_classes: int,
+                        embeddings=None, target_embeddings=None,
+                        forced_unseen: bool = False, all_unseen_vec=None):
+    """Stage-1 train step: returns (new_state, aux dict of scalars + hist).
+
+    `embeddings` drives NNE inference; `target_embeddings` (defaults to the
+    same matrix) drives the regression targets — they differ only under
+    one_hot_embed, where the reference regresses onto one-hot vectors but
+    still infers against the word2vec matrix (trainer_fcn.py:49 vs
+    pascal_dataset.py:92-101).
+    """
+    if target_embeddings is None:
+        target_embeddings = embeddings
+    loss_one = _per_sample_fcn_loss(loss_name, target_embeddings)
+
+    @jax.jit
+    def train_step(state, batch, dropout_key):
+        key = jax.random.fold_in(dropout_key, state.step)
+
+        def loss_fn(params):
+            score = model.apply({"params": params}, batch["image"],
+                                train=True, mode="fcn",
+                                rngs={"dropout": key})
+            losses = jax.vmap(loss_one)(score, batch["label"])
+            loss = jnp.sum(losses) / jnp.maximum(batch["num_real"], 1)
+            return loss, score
+
+        (loss, score), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u,
+                                        state.params, updates)
+        # optax updates are already negated deltas; p + u applies them
+        new_state = state.replace(params=params, opt_state=opt_state,
+                                  step=state.step + 1)
+        pred = _fcn_infer(score, batch["label"], embeddings,
+                          forced_unseen=forced_unseen,
+                          all_unseen_vec=all_unseen_vec)
+        aux = {
+            "loss": loss,
+            "hist": confusion_matrix(batch["label"], pred, num_classes),
+            "score_sum": jnp.sum(score.astype(jnp.float32)),
+            # reference per-iter stdout prints these (trainer_fcn.py:160-162)
+            "score_fr_grad_sum": jnp.sum(grads["score_fr"]["kernel"]),
+        }
+        return new_state, aux
+
+    return train_step
+
+
+def make_fcn_eval_step(model, *, loss_name: str, num_classes: int,
+                       embeddings=None, target_embeddings=None,
+                       forced_unseen: bool = False,
+                       all_unseen_vec=None, val_unseen_vec=None):
+    """Stage-1/test_fcn eval step (reference Trainer.forward path)."""
+    if target_embeddings is None:
+        target_embeddings = embeddings
+    loss_one = _per_sample_fcn_loss(loss_name, target_embeddings)
+
+    @jax.jit
+    def eval_step(params, batch):
+        score = model.apply({"params": params}, batch["image"], mode="fcn")
+        losses = jax.vmap(loss_one)(score, batch["label"])
+        pred = _fcn_infer(score, batch["label"], embeddings,
+                          forced_unseen=forced_unseen,
+                          all_unseen_vec=all_unseen_vec)
+        hists = zeroshot_hists(batch["label"], pred, num_classes,
+                               val_unseen_vec)
+        return {"loss_sum": jnp.sum(losses), "hists": hists, "pred": pred,
+                "score_sum": jnp.sum(score.astype(jnp.float32))}
+
+    return eval_step
+
+
+def make_szn_eval_step(model, *, loss_name: str, num_classes: int,
+                       embeddings, target_embeddings=None,
+                       all_unseen_vec=None, val_unseen_vec=None):
+    """Full-SZN eval step (reference Trainer.forward_szn, trainer_fcn.py:123-147):
+    both heads, seenmask-gated stitched NNE inference, fcn loss."""
+    if target_embeddings is None:
+        target_embeddings = embeddings
+    loss_one = _per_sample_fcn_loss(loss_name, target_embeddings)
+
+    @jax.jit
+    def eval_step(params, batch):
+        fcn_score, seenmask_score = model.apply({"params": params},
+                                                batch["image"], mode="both")
+        losses = jax.vmap(loss_one)(fcn_score, batch["label"])
+        pred = infer_labels_szn(fcn_score, seenmask_score, embeddings,
+                                all_unseen_vec)
+        hists = zeroshot_hists(batch["label"], pred, num_classes,
+                               val_unseen_vec)
+        return {"loss_sum": jnp.sum(losses), "hists": hists, "pred": pred,
+                "score_sum": jnp.sum(fcn_score.astype(jnp.float32))}
+
+    return eval_step
+
+
+def _seenmask_target(label, sizes, seen_vec):
+    """Binary target: 1 = pixel's class is seen, 0 = unseen-or-unlabeled,
+    -1 = bucket padding (ignored).
+
+    The reference trains the seenmask on *every* pixel of the original image,
+    mapping unlabeled (-1) to 0 (trainer_seenmask.py:54-58 in1d semantics);
+    only this framework's static-shape padding is excluded.
+    """
+    h, w = label.shape[1], label.shape[2]
+    in_seen = seen_vec[jnp.clip(label, 0, None)] & (label >= 0)
+    tgt = in_seen.astype(jnp.int32)
+    return jnp.where(_pad_mask(sizes, h, w), -1, tgt)
+
+
+def make_seenmask_train_step(model, tx, *, seen_vec):
+    """Stage-2 train step: CE on the 2-channel head, backbone frozen by tx."""
+    @jax.jit
+    def train_step(state, batch, dropout_key):
+        key = jax.random.fold_in(dropout_key, state.step)
+        target = _seenmask_target(batch["label"], batch["sizes"], seen_vec)
+
+        def loss_fn(params):
+            score = model.apply({"params": params}, batch["image"],
+                                train=True, mode="seenmask",
+                                rngs={"dropout": key})
+            losses = jax.vmap(
+                lambda s, t: cross_entropy2d(s[None], t[None],
+                                             size_average=True))(score, target)
+            loss = jnp.sum(losses) / jnp.maximum(batch["num_real"], 1)
+            return loss, score
+
+        (loss, score), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u,
+                                        state.params, updates)
+        new_state = state.replace(params=params, opt_state=opt_state,
+                                  step=state.step + 1)
+        pred = jnp.argmax(score, axis=-1).astype(jnp.int32)
+        aux = {
+            "loss": loss,
+            "hist": confusion_matrix(target, pred, 2),
+            "score_sum": jnp.sum(score.astype(jnp.float32)),
+            "seenmask_grad_sum": jnp.sum(grads["seenmask_score"]["kernel"]),
+        }
+        return new_state, aux
+
+    return train_step
+
+
+def make_seenmask_eval_step(model, *, seen_vec):
+    @jax.jit
+    def eval_step(params, batch):
+        target = _seenmask_target(batch["label"], batch["sizes"], seen_vec)
+        score = model.apply({"params": params}, batch["image"],
+                            mode="seenmask")
+        losses = jax.vmap(
+            lambda s, t: cross_entropy2d(s[None], t[None],
+                                         size_average=True))(score, target)
+        pred = jnp.argmax(score, axis=-1).astype(jnp.int32)
+        return {"loss_sum": jnp.sum(losses),
+                "hists": confusion_matrix(target, pred, 2)[None],
+                "pred": pred,
+                "score_sum": jnp.sum(score.astype(jnp.float32))}
+
+    return eval_step

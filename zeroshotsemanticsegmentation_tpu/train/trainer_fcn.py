@@ -1,0 +1,240 @@
+"""Stage-1 trainer: FCN embedding regression / softmax baseline.
+
+Orchestrates the jitted steps over the batch pipeline with the reference
+Trainer's observable behavior (trainer_fcn.py:19-306): per-iteration train
+CSV/TB/stdout with loss + grad sums + train metrics, per-epoch validation
+with overall + seen/unseen metric breakdown, first-N visualization tile,
+checkpoint-every-eval with best-by-mean-IoU copy, and the dataset-specific
+early-stop image budget.
+
+TPU-native differences: batches instead of bs=1 (losses are per-sample means,
+identical at bs=1), all metric histograms accumulate on device, and the whole
+step — forward, loss, backward, NNE inference, confusion matrix — is one XLA
+program.
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zeroshotsemanticsegmentation_tpu.data.transforms import untransform_image
+from zeroshotsemanticsegmentation_tpu.ops import hist_to_metrics
+from zeroshotsemanticsegmentation_tpu.ops.metrics import unseen_mask_vector
+from zeroshotsemanticsegmentation_tpu.train import checkpoint as ckpt
+from zeroshotsemanticsegmentation_tpu.train.state import TrainState
+from zeroshotsemanticsegmentation_tpu.train.steps import (
+    make_fcn_eval_step, make_fcn_train_step, make_szn_eval_step)
+from zeroshotsemanticsegmentation_tpu.viz import (
+    get_tile_image, save_image, visualize_segmentation)
+
+_METRIC_NAMES = ("pxl_acc", "class_acc", "mean_iu", "fwavacc")
+
+TRAIN_HEADERS = ["epoch", "iteration", "train/loss", "train/pxl_acc",
+                 "train/class_acc", "train/mean_iu", "train/fwavacc",
+                 "elapsed_time"]
+
+
+def val_headers(zeroshot: bool) -> list[str]:
+    h = ["epoch", "iteration", "val/loss", "val/pxl_acc", "val/class_acc",
+         "val/mean_iu", "val/fwavacc"]
+    if zeroshot:
+        for grp in ("seen", "unseen"):
+            h += [f"val/{grp}/{m}" for m in _METRIC_NAMES]
+    return h + ["elapsed_time"]
+
+
+def _to_device(batch: dict) -> dict:
+    return {
+        "image": jnp.asarray(batch["image"]),
+        "label": jnp.asarray(batch["label"]),
+        "sizes": jnp.asarray(batch["sizes"]),
+        "num_real": jnp.asarray(batch["num_real"], jnp.int32),
+    }
+
+
+class FCNTrainer:
+    def __init__(self, *, cfg, model, tx, params, train_loader, val_loader,
+                 logger, embeddings=None, target_embeddings=None,
+                 start_epoch: int = 0,
+                 start_iteration: int = 0, best_mean_iu: float = 0.0,
+                 opt_state=None, mesh=None):
+        self.cfg = cfg
+        self.model = model
+        self.tx = tx
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.logger = logger
+        self.mesh = mesh
+        self.epoch = start_epoch
+        self.best_mean_iu = best_mean_iu
+
+        n = cfg.num_classes
+        self.n_class = n
+        # class partitioning: stitch/forced-unseen uses train+val unseen
+        # (reference trainer_fcn.py:44,56-64); metric breakdown uses
+        # val_unseen only (trainer_fcn.py:223)
+        self.all_unseen = tuple(cfg.train_unseen) + tuple(cfg.val_unseen)
+        all_unseen_vec = jnp.asarray(unseen_mask_vector(n, self.all_unseen))
+        val_unseen_vec = jnp.asarray(unseen_mask_vector(n, cfg.val_unseen))
+        self.zeroshot = bool(self.all_unseen)
+
+        emb = None if embeddings is None else jnp.asarray(embeddings)
+        temb = None if target_embeddings is None else jnp.asarray(target_embeddings)
+        self.embeddings = emb
+
+        if mesh is not None:
+            from zeroshotsemanticsegmentation_tpu.parallel import (
+                replicate, shard_params)
+            params = shard_params(params, mesh)
+            if emb is not None:
+                emb = replicate(emb, mesh)
+                self.embeddings = emb
+            if temb is not None:
+                temb = replicate(temb, mesh)
+        if opt_state is None:
+            opt_state = jax.jit(tx.init)(params)
+        self.state = TrainState(params=params, opt_state=opt_state,
+                                step=jnp.asarray(start_iteration, jnp.int32))
+
+        kw = dict(loss_name=cfg.fcn_loss, num_classes=n, embeddings=emb,
+                  target_embeddings=temb, forced_unseen=cfg.forced_unseen,
+                  all_unseen_vec=all_unseen_vec)
+        self._train_step = make_fcn_train_step(model, tx, **kw)
+        self._eval_step = make_fcn_eval_step(model, val_unseen_vec=val_unseen_vec,
+                                             **kw)
+        if self.zeroshot and emb is not None:
+            self._szn_eval_step = make_szn_eval_step(
+                model, loss_name=cfg.fcn_loss, num_classes=n, embeddings=emb,
+                target_embeddings=temb, all_unseen_vec=all_unseen_vec,
+                val_unseen_vec=val_unseen_vec)
+        else:
+            self._szn_eval_step = None
+        self._dropout_key = jax.random.PRNGKey(cfg.seed)
+
+    # ------------------------------------------------------------------
+
+    @property
+    def iteration(self) -> int:
+        return int(self.state.step)
+
+    def _put(self, batch: dict) -> dict:
+        if self.mesh is not None:
+            from zeroshotsemanticsegmentation_tpu.parallel import shard_batch
+            return shard_batch(
+                {k: v for k, v in batch.items() if k != "ids"}, self.mesh)
+        return _to_device(batch)
+
+    def train_epoch(self) -> None:
+        self.train_loader.set_epoch(self.epoch)
+        log = self.logger
+        for batch_idx, batch in enumerate(self.train_loader):
+            self.state, aux = self._train_step(self.state, self._put(batch),
+                                               self._dropout_key)
+            if batch_idx % self.cfg.log_interval:
+                continue
+            loss = float(aux["loss"])
+            if np.isnan(loss):
+                raise ValueError("loss is nan while training")  # ref :107
+            metrics = hist_to_metrics(np.asarray(aux["hist"]))
+            it = self.iteration - 1
+            log.stdout(
+                "FCN Train Epoch {:<5} | Iteration {:<5} | Loss {:5.5f} | "
+                "score_fr grad sum {:15.6f} | score sum {:10.5f}".format(
+                    self.epoch, batch_idx, loss,
+                    float(aux["score_fr_grad_sum"]),
+                    float(aux["score_sum"])))
+            log.csv_append("train_log.csv", TRAIN_HEADERS,
+                           [self.epoch, it, loss, *metrics,
+                            log.elapsed_seconds])
+            log.scalar("fcn/train/loss", loss, it)
+            log.scalars("fcn/train", list(_METRIC_NAMES), metrics, it)
+
+    def validate(self, *, both_fcn_and_seenmask: bool = False) -> float:
+        """One full validation pass; returns overall mean-IoU.
+
+        both_fcn_and_seenmask=True runs the full-SZN path (reference
+        forward_szn / test_all); False runs plain fcn inference (test_fcn).
+        """
+        cfg, log = self.cfg, self.logger
+        step_fn = (self._szn_eval_step if both_fcn_and_seenmask
+                   else self._eval_step)
+        if step_fn is None:
+            raise ValueError("SZN validation requires zero-shot embeddings")
+
+        loss_sum, n_images = 0.0, 0
+        hists = np.zeros((3, self.n_class, self.n_class), np.int64)
+        tiles = []
+        for batch in self.val_loader:
+            out = step_fn(self.state.params, self._put(batch))
+            loss_sum += float(out["loss_sum"])
+            n_images += batch["num_real"]
+            hists += np.asarray(out["hists"])
+            if len(tiles) < cfg.num_viz:
+                pred = np.asarray(out["pred"])
+                for i in range(batch["num_real"]):
+                    if len(tiles) >= cfg.num_viz:
+                        break
+                    h, w = batch["sizes"][i]
+                    img = untransform_image(batch["image"][i, :h, :w])
+                    tiles.append(visualize_segmentation(
+                        lbl_pred=pred[i, :h, :w],
+                        lbl_true=batch["label"][i, :h, :w].copy(),
+                        img=img, n_class=self.n_class,
+                        unseen=list(cfg.val_unseen)))
+
+        viz_dir = osp.join(log.log_dir,
+                           "szn_viz" if both_fcn_and_seenmask else "fcn_viz")
+        os.makedirs(viz_dir, exist_ok=True)
+        tile = get_tile_image(tiles) if tiles else None
+        if tile is not None:
+            save_image(osp.join(viz_dir, f"epoch{self.epoch}.jpg"), tile)
+            log.image("fcn/segmentations", tile, self.epoch)
+
+        val_loss = loss_sum / max(n_images, 1)  # per-image mean (ref :250)
+        metrics = hist_to_metrics(hists[0])
+        row = [self.epoch, self.iteration, val_loss, *metrics]
+        log.scalar("fcn/val/loss", val_loss, self.epoch)
+        log.scalars("fcn/val", list(_METRIC_NAMES), metrics, self.epoch)
+        if self.zeroshot:
+            seen_metrics = hist_to_metrics(hists[1])
+            unseen_metrics = hist_to_metrics(hists[2])
+            log.scalars("fcn/val/seen", list(_METRIC_NAMES), seen_metrics,
+                        self.epoch)
+            log.scalars("fcn/val/unseen", list(_METRIC_NAMES), unseen_metrics,
+                        self.epoch)
+            for grp, m in [("seen", seen_metrics), ("unseen", unseen_metrics)]:
+                for name, v in zip(_METRIC_NAMES, m):
+                    log.stdout(f"{grp} {name}: {v:.3f}")
+            row += [*seen_metrics, *unseen_metrics]
+        for name, v in zip(_METRIC_NAMES, metrics):
+            log.stdout(f"overall {name}: {v:.3f}")
+        row.append(log.elapsed_seconds)
+        log.csv_append("val_log.csv", val_headers(self.zeroshot), row)
+
+        mean_iu = metrics[2]
+        is_best = bool(mean_iu > self.best_mean_iu or
+                       np.isnan(self.best_mean_iu))
+        if is_best and not np.isnan(mean_iu):
+            self.best_mean_iu = mean_iu
+        ckpt.save_checkpoint(
+            log.log_dir, params=self.state.params,
+            opt_state=self.state.opt_state, epoch=self.epoch,
+            iteration=self.iteration, best_mean_iu=self.best_mean_iu,
+            is_best=is_best)
+        return mean_iu
+
+    def train(self) -> None:
+        """Epoch loop with the reference's image-budget early stop
+        (trainer_fcn.py:294-306)."""
+        for epoch in range(self.epoch, self.cfg.fcn_epochs):
+            self.epoch = epoch
+            self.train_epoch()
+            self.validate()
+            # reference counts epoch * images-per-epoch (trainer_fcn.py:302)
+            if epoch * len(self.train_loader.dataset) > self.cfg.early_stop_images:
+                break

@@ -20,7 +20,7 @@ if _REPO_ROOT not in sys.path:
 
 BASELINE_MP_S = 50.0
 H = W = 512
-BATCH = 8
+BATCH = 16  # throughput saturates at 16 on v5e (82.8 vs 76.2 MP/s at 8)
 WARMUP = 3
 ITERS = 30
 

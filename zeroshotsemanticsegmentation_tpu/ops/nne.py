@@ -16,6 +16,7 @@ eval path. Both share these semantics and are cross-checked in tests.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -28,7 +29,10 @@ def cosine_similarities(score: jnp.ndarray, embeddings: jnp.ndarray) -> jnp.ndar
     """
     s = score.astype(jnp.float32)
     e = embeddings.astype(jnp.float32)
-    sims = jnp.einsum("...c,kc->...k", s, e, preferred_element_type=jnp.float32)
+    # HIGHEST: the TPU default matmul precision is bf16-level, which flips
+    # argmax results between near-tied classes vs the fp32 reference
+    sims = jnp.einsum("...c,kc->...k", s, e, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
     # double-where: keeps the (rarely used) backward pass finite at zero norms
     s_norm2 = jnp.sum(s * s, axis=-1, keepdims=True)
     e_norm2 = jnp.sum(e * e, axis=-1)

@@ -158,3 +158,36 @@ def test_bad_mode_raises():
     with pytest.raises(ValueError):
         model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
                    mode="bogus")
+
+
+def test_fcn8s_geometry_and_zero_skip_init(rng):
+    from zeroshotsemanticsegmentation_tpu.models import FCN8s
+    model = FCN8s(num_classes=EMBED_DIM, channel_scale=1 / 16)
+    x = jnp.asarray(rng.randn(1, 97, 113, 3).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, mode="fcn")
+    f, s = model.apply(variables, x, mode="both")
+    assert f.shape == (1, 97, 113, EMBED_DIM)
+    assert s.shape == (1, 97, 113, 2)
+    p = variables["params"]
+    # skip scores zero-initialized; all four heads + skips exist
+    assert np.all(np.asarray(p["score_pool3"]["kernel"]) == 0)
+    assert np.all(np.asarray(p["score_pool4"]["kernel"]) == 0)
+    assert set(p) >= {"score_fr", "seenmask_score", "score_pool3",
+                      "score_pool4", "fc6", "fc7"}
+    # seenmask-only mode runs with the same variables (params all created)
+    sm = model.apply(variables, x, mode="seenmask")
+    assert sm.shape == (1, 97, 113, 2)
+
+
+def test_fcn8s_trains_end_to_end(tmp_path, rng):
+    from zeroshotsemanticsegmentation_tpu.cli.train import run_experiment
+    from zeroshotsemanticsegmentation_tpu.configs import Config
+    cfg = Config(mode="train", dataset="pascal", embed_dim=20, fcn_epochs=1,
+                 fcn_lr=1e-3, fcn_loss="cos", fcn_optim="adam",
+                 train_unseen=(1, 13), val_unseen=(6, 7), arch="fcn8s",
+                 batch_size=2, eval_batch_size=2, bucket=(64, 64),
+                 compute_dtype="float32", channel_scale=1 / 32, num_viz=1)
+    out = run_experiment(cfg, preset=0, data_dir=str(tmp_path),
+                         log_dir=str(tmp_path / "fcn8s"), synthetic=True,
+                         verbose=False)
+    assert np.isfinite(out["best_mean_iu"])

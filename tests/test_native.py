@@ -1,0 +1,111 @@
+"""Native C++ loader vs the Python decode path."""
+
+import numpy as np
+import PIL.Image
+import pytest
+
+from zeroshotsemanticsegmentation_tpu.data.native import NativeLoader
+from zeroshotsemanticsegmentation_tpu.data.transforms import transform_image
+
+pytestmark = pytest.mark.skipif(not NativeLoader.available(),
+                                reason="libzss_loader.so not built")
+
+
+@pytest.fixture
+def fixtures(tmp_path, rng):
+    img = rng.randint(0, 255, size=(37, 53, 3)).astype(np.uint8)
+    img_path = str(tmp_path / "img.jpg")
+    PIL.Image.fromarray(img).save(img_path, quality=95)
+    lbl = rng.randint(0, 21, size=(37, 53)).astype(np.uint8)
+    lbl[::7, ::5] = 255
+    lbl_path = str(tmp_path / "lbl.png")
+    PIL.Image.fromarray(lbl, mode="L").save(lbl_path)
+    return img_path, lbl_path, lbl
+
+
+def test_decode_image_matches_python(fixtures):
+    img_path, _, _ = fixtures
+    nl = NativeLoader.get()
+    native, size = nl.decode_image(img_path, (64, 64))
+    assert size == (37, 53)
+    decoded = np.asarray(PIL.Image.open(img_path).convert("RGB"), np.uint8)
+    want = transform_image(decoded)
+    # same libjpeg decode + same transform => exact within float32 rounding
+    np.testing.assert_allclose(native[:37, :53], want, atol=2.0)
+    assert (native[37:] == 0).all() and (native[:, 53:] == 0).all()
+
+
+def test_decode_label_matches_python(fixtures):
+    _, lbl_path, lbl = fixtures
+    nl = NativeLoader.get()
+    native, size = nl.decode_label(lbl_path, (64, 64), map255_to_ignore=True)
+    assert size == (37, 53)
+    want = lbl.astype(np.int32)
+    want[want == 255] = -1
+    np.testing.assert_array_equal(native[:37, :53], want)
+    assert (native[37:] == -1).all() and (native[:, 53:] == -1).all()
+    # context-style 1-indexed shift
+    native2, _ = nl.decode_label(lbl_path, (64, 64), value_offset=-1,
+                                 map255_to_ignore=False)
+    np.testing.assert_array_equal(native2[:37, :53], lbl.astype(np.int32) - 1)
+
+
+def test_palette_png_reads_indices(tmp_path, rng):
+    lbl = rng.randint(0, 21, size=(20, 20)).astype(np.uint8)
+    im = PIL.Image.fromarray(lbl, mode="P")
+    im.putpalette([c for i in range(256) for c in (i, 0, 255 - i)])
+    path = str(tmp_path / "pal.png")
+    im.save(path)
+    nl = NativeLoader.get()
+    native, _ = nl.decode_label(path, (20, 20))
+    np.testing.assert_array_equal(native, lbl.astype(np.int32))
+
+
+def test_load_batch_parallel(fixtures, tmp_path, rng):
+    img_path, lbl_path, lbl = fixtures
+    nl = NativeLoader.get()
+    images, labels, sizes = nl.load_batch(
+        [img_path] * 5, [lbl_path] * 5, (64, 64), num_threads=3)
+    assert images.shape == (5, 64, 64, 3)
+    assert labels.shape == (5, 64, 64)
+    np.testing.assert_array_equal(sizes, np.tile([37, 53], (5, 1)))
+    for i in range(1, 5):
+        np.testing.assert_array_equal(images[0], images[i])
+        np.testing.assert_array_equal(labels[0], labels[i])
+
+
+def test_missing_file_raises():
+    nl = NativeLoader.get()
+    with pytest.raises(IOError):
+        nl.decode_image("/nonexistent.jpg", (32, 32))
+
+
+def test_batch_loader_native_matches_python(tmp_path, rng):
+    """BatchLoader native fast path == pure-Python path on a pascal val tree."""
+    from tests.test_data import _make_pascal_tree
+    from zeroshotsemanticsegmentation_tpu.data import BatchLoader, PascalVOC
+    data_dir, assets_dir = _make_pascal_tree(tmp_path, tmp_path / "assets")
+    ds = PascalVOC("val", data_dir=data_dir, assets_dir=assets_dir)
+    assert ds.native_label_kwargs() is not None
+    nat = list(BatchLoader(ds, 2, bucket_hw=(48, 48), use_native=True))
+    py = list(BatchLoader(ds, 2, bucket_hw=(48, 48), use_native=False))
+    assert len(nat) == len(py)
+    for a, b in zip(nat, py):
+        assert a["ids"] == b["ids"]
+        assert a["num_real"] == b["num_real"]
+        np.testing.assert_array_equal(a["label"], b["label"])
+        np.testing.assert_array_equal(a["sizes"], b["sizes"])
+        np.testing.assert_allclose(a["image"], b["image"], atol=2.0)
+
+
+def test_batch_loader_native_train_split_falls_back(tmp_path, rng):
+    """SBD .mat labels (train split) silently use the Python path."""
+    from tests.test_data import _make_pascal_tree
+    from zeroshotsemanticsegmentation_tpu.data import BatchLoader, PascalVOC
+    data_dir, assets_dir = _make_pascal_tree(tmp_path, tmp_path / "assets")
+    ds = PascalVOC("train", data_dir=data_dir, assets_dir=assets_dir)
+    loader = BatchLoader(ds, 2, bucket_hw=(48, 48))
+    assert loader._native is None
+    assert len(list(loader)) == len(loader)
+    with pytest.raises(RuntimeError):
+        BatchLoader(ds, 2, bucket_hw=(48, 48), use_native=True)

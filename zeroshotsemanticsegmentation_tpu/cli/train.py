@@ -23,7 +23,7 @@ from zeroshotsemanticsegmentation_tpu.data import (
     BatchLoader, PascalContext, PascalVOC, SyntheticDataset,
     load_class_embeddings)
 from zeroshotsemanticsegmentation_tpu.models import (
-    FCN32s, load_vgg16_into_params)
+    FCN32s, FCN8s, load_vgg16_into_params)
 from zeroshotsemanticsegmentation_tpu.train import (
     FCNTrainer, SeenmaskTrainer, make_fcn_optimizer, make_seenmask_optimizer)
 from zeroshotsemanticsegmentation_tpu.train import checkpoint as ckpt
@@ -102,8 +102,9 @@ def run_experiment(cfg, *, preset: int = 0, name: str | None = None,
 
     # 3. model + init
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-    model = FCN32s(num_classes=cfg.head_channels, dtype=dtype,
-                   channel_scale=cfg.channel_scale)
+    model_cls = FCN8s if cfg.arch == "fcn8s" else FCN32s
+    model = model_cls(num_classes=cfg.head_channels, dtype=dtype,
+                      channel_scale=cfg.channel_scale)
     sample = jnp.zeros((1, cfg.bucket[0], cfg.bucket[1], 3), jnp.float32)
     params = jax.jit(
         lambda: model.init(jax.random.PRNGKey(cfg.seed), sample,
@@ -199,6 +200,7 @@ def _parse_args(argv=None):
     p.add_argument("-fu", "--forced_unseen", action="store_true")
     p.add_argument("-r", "--resume", type=str, default="")
     # TPU-native flags
+    p.add_argument("--arch", type=str, choices=["fcn32s", "fcn8s"])
     p.add_argument("--batch_size", type=int)
     p.add_argument("--eval_batch_size", type=int)
     p.add_argument("--dtype", type=str, choices=["bfloat16", "float32"])
@@ -220,6 +222,7 @@ def main(argv=None) -> dict:
                      ("fcn_optim", "fcn_optim"),
                      ("seenmask_epochs", "seenmask_epochs"),
                      ("seenmask_learning_rate", "seenmask_lr"),
+                     ("arch", "arch"),
                      ("batch_size", "batch_size"),
                      ("eval_batch_size", "eval_batch_size"),
                      ("dtype", "compute_dtype"),

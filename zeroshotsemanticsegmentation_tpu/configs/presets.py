@@ -37,6 +37,7 @@ class Config:
     forced_unseen: bool = False
     load_fcn_path: str = ""
     # TPU-native extensions
+    arch: str = "fcn32s"                   # fcn32s | fcn8s (extension)
     batch_size: int = 1
     eval_batch_size: int = 1
     bucket: tuple = (512, 512)
@@ -48,6 +49,7 @@ class Config:
     max_train_images: int = 0              # 0 => dataset default budget
     num_viz: int = 25                      # reference trainer_fcn.py:204
     channel_scale: float = 1.0             # <1: thin model (tests/dryruns only)
+    profile_steps: int = 0                 # >0: jax.profiler trace of N steps
 
     @property
     def num_classes(self) -> int:
@@ -126,6 +128,8 @@ def validate_config(cfg: Config) -> None:
         raise ValueError(f"unknown fcn_loss {cfg.fcn_loss!r}")
     if cfg.fcn_optim not in ("sgd", "adam"):
         raise ValueError(f"unknown fcn_optim {cfg.fcn_optim!r}")
+    if cfg.arch not in ("fcn32s", "fcn8s"):
+        raise ValueError(f"unknown arch {cfg.arch!r}")
     if cfg.one_hot_embed and cfg.embed_dim != cfg.num_classes:
         raise ValueError(
             "joint-embedding space must be size of one-hot embedding space")

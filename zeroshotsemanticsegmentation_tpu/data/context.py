@@ -25,15 +25,23 @@ class PascalContext(SegDatasetBase):
         keep = super()._keep_mask(presence)
         return keep & ~presence[:, 0]
 
+    def image_path(self, did: str) -> str:
+        return osp.join(self.data_dir, "pascal", "VOCdevkit", "VOC2012",
+                        "JPEGImages", f"{did}.jpg")
+
+    def label_path(self, did: str) -> str:
+        return osp.join(self.data_dir, "context", "33_context_labels",
+                        f"{did}.png")
+
+    def native_label_kwargs(self) -> dict | None:
+        return {"value_offset": -1, "map255_to_ignore": False}
+
     def _load_image(self, did: str) -> np.ndarray:
         import PIL.Image
-        path = osp.join(self.data_dir, "pascal", "VOCdevkit", "VOC2012",
-                        "JPEGImages", f"{did}.jpg")
-        return np.asarray(PIL.Image.open(path).convert("RGB"), dtype=np.uint8)
+        return np.asarray(PIL.Image.open(self.image_path(did)).convert("RGB"),
+                          dtype=np.uint8)
 
     def _load_label(self, did: str) -> np.ndarray:
         import PIL.Image
-        path = osp.join(self.data_dir, "context", "33_context_labels",
-                        f"{did}.png")
-        lbl = np.asarray(PIL.Image.open(path), dtype=np.int32)
+        lbl = np.asarray(PIL.Image.open(self.label_path(did)), dtype=np.int32)
         return lbl - 1  # 1-indexed -> 0-indexed, invalid -> -1

@@ -28,21 +28,34 @@ class PascalVOC(SegDatasetBase):
     def _voc_dir(self) -> str:
         return osp.join(self.data_dir, "pascal", "VOCdevkit", "VOC2012")
 
+    def image_path(self, did: str) -> str:
+        if self.split in ("train", "train_seen"):
+            return osp.join(self._sbd_dir(), "img", f"{did}.jpg")
+        return osp.join(self._voc_dir(), "JPEGImages", f"{did}.jpg")
+
+    def label_path(self, did: str) -> str:
+        if self.split in ("train", "train_seen"):
+            return osp.join(self._sbd_dir(), "cls", f"{did}.mat")
+        return osp.join(self._voc_dir(), "SegmentationClass", f"{did}.png")
+
+    def native_label_kwargs(self) -> dict | None:
+        """PNG-label splits decode natively; SBD .mat splits fall back."""
+        if self.split in ("train", "train_seen"):
+            return None
+        return {"value_offset": 0, "map255_to_ignore": True}
+
     def _load_image(self, did: str) -> np.ndarray:
         import PIL.Image
-        if self.split in ("train", "train_seen"):
-            path = osp.join(self._sbd_dir(), "img", f"{did}.jpg")
-        else:
-            path = osp.join(self._voc_dir(), "JPEGImages", f"{did}.jpg")
-        return np.asarray(PIL.Image.open(path).convert("RGB"), dtype=np.uint8)
+        return np.asarray(PIL.Image.open(self.image_path(did)).convert("RGB"),
+                          dtype=np.uint8)
 
     def _load_label(self, did: str) -> np.ndarray:
         if self.split in ("train", "train_seen"):
-            lbl = load_sbd_label(osp.join(self._sbd_dir(), "cls", f"{did}.mat"))
+            lbl = load_sbd_label(self.label_path(did))
         else:
             import PIL.Image
-            path = osp.join(self._voc_dir(), "SegmentationClass", f"{did}.png")
-            lbl = np.asarray(PIL.Image.open(path), dtype=np.int32)
+            lbl = np.asarray(PIL.Image.open(self.label_path(did)),
+                             dtype=np.int32)
         lbl = lbl.astype(np.int32)
         lbl[lbl == 255] = -1  # reference pascal_dataset.py:120
         return lbl

@@ -32,7 +32,8 @@ class BatchLoader:
                  bucket_hw: tuple[int, int] = DEFAULT_BUCKET,
                  shuffle: bool = False, seed: int = 1337,
                  drop_remainder: bool = False,
-                 num_threads: int = 4, prefetch: int = 2):
+                 num_threads: int = 4, prefetch: int = 2,
+                 use_native: bool | None = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.bucket_hw = bucket_hw
@@ -42,6 +43,25 @@ class BatchLoader:
         self.num_threads = num_threads
         self.prefetch = prefetch
         self.epoch = 0
+        # native C++ decode path (libzss_loader): auto-enabled when the
+        # library is built and the dataset's labels are PNG-decodable
+        self._native = None
+        if use_native is not False and hasattr(dataset, "native_label_kwargs"):
+            kwargs = dataset.native_label_kwargs()
+            if kwargs is not None:
+                from zeroshotsemanticsegmentation_tpu.data.native import (
+                    NativeLoader)
+                loader = NativeLoader.get()
+                if loader is not None:
+                    self._native = (loader, kwargs)
+                elif use_native:
+                    raise RuntimeError(
+                        "use_native=True but libzss_loader.so is not built "
+                        "(run `make -C native`)")
+            elif use_native:
+                raise RuntimeError(
+                    f"use_native=True but dataset split "
+                    f"{getattr(dataset, 'split', '?')!r} has non-PNG labels")
 
     def set_epoch(self, epoch: int) -> None:
         """Reseeds the shuffle (deterministic per epoch)."""
@@ -74,6 +94,26 @@ class BatchLoader:
         return {"image": image, "label": label, "sizes": sizes, "ids": ids,
                 "num_real": len(samples)}
 
+    def _assemble_native(self, loader, label_kwargs, chunk) -> dict:
+        ids = [self.dataset.ids[i] for i in chunk]
+        img_paths = [self.dataset.image_path(d) for d in ids]
+        lbl_paths = [self.dataset.label_path(d) for d in ids]
+        images, labels, sizes = loader.load_batch(
+            img_paths, lbl_paths, self.bucket_hw,
+            num_threads=self.num_threads, **label_kwargs)
+        b = self.batch_size
+        if len(chunk) < b:  # pad with all-ignore dummies (static shapes)
+            bh, bw = self.bucket_hw
+            pad = b - len(chunk)
+            images = np.concatenate(
+                [images, np.zeros((pad, bh, bw, 3), np.float32)])
+            labels = np.concatenate(
+                [labels, np.full((pad, bh, bw), PAD_LABEL, np.int32)])
+            sizes = np.concatenate([sizes, np.zeros((pad, 2), np.int32)])
+            ids = ids + [""] * pad
+        return {"image": images, "label": labels, "sizes": sizes, "ids": ids,
+                "num_real": len(chunk)}
+
     def __iter__(self):
         order = self._order()
         if self.drop_remainder:
@@ -85,6 +125,14 @@ class BatchLoader:
         stop = threading.Event()
 
         def produce():
+            if self._native is not None:
+                loader, kwargs = self._native
+                for chunk in chunks:
+                    if stop.is_set():
+                        return
+                    out.put(self._assemble_native(loader, kwargs, chunk))
+                out.put(None)
+                return
             with ThreadPoolExecutor(max_workers=self.num_threads) as pool:
                 for chunk in chunks:
                     if stop.is_set():

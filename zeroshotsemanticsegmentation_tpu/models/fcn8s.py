@@ -1,0 +1,122 @@
+"""FCN-8s: skip-connection fusion variant (framework extension).
+
+The reference implements only FCN-32s (models.py:27 — its coarse ×32
+upsampling); FCN-8s is the classic finer-grained variant from the same paper
+lineage (Long et al., FCN; BASELINE.json lists it among this framework's
+target configs). Architecture:
+
+    fc7 → score_fr → ×2 bilinear ┐
+    pool4 → 1×1 score (zero-init) ┼ crop(5) + add → ×2 bilinear ┐
+    pool3 → 1×1 score (zero-init) ┴──────────────── crop(9) + add → ×8
+    bilinear → crop(31) to input size
+
+All bilinear upsamples are fixed interpolation matrices (matmul form, like
+FCN-32s' upscore — the reference never trains transposed-conv weights,
+train.py:324-327). Skip scores are zero-initialized so a fresh FCN-8s starts
+exactly equal to FCN-32s' prediction path (standard FCN surgery practice).
+
+The 2-channel seenmask head keeps the coarse ×32 path — the binary
+seen/unseen gate does not benefit from edge-accurate upsampling and this
+keeps stage-2 training identical across architectures.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from zeroshotsemanticsegmentation_tpu.models.fcn32s import (
+    _PAD_CONV1, _VGG_BLOCKS, _max_pool_ceil)
+from zeroshotsemanticsegmentation_tpu.ops.bilinear import (
+    upsample_bilinear_cropped)
+
+_CROP_POOL4 = 5
+_CROP_POOL3 = 9
+_CROP_FINAL = 31
+
+
+class FCN8s(nn.Module):
+    num_classes: int
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+    dropout_rate: float = 0.5
+    channel_scale: float = 1.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = False,
+                 mode: str = "both"):
+        if mode not in ("fcn", "seenmask", "both"):
+            raise ValueError(f"unexpected forward mode: {mode!r}")
+        in_h, in_w = x.shape[1], x.shape[2]
+
+        def width(f: int) -> int:
+            return max(8, int(f * self.channel_scale))
+
+        def conv(h, name, features, kernel, padding, zero_init=False):
+            kw = {}
+            if zero_init:
+                kw["kernel_init"] = nn.initializers.zeros
+                kw["bias_init"] = nn.initializers.zeros
+            return nn.Conv(features, kernel, padding=padding, dtype=self.dtype,
+                           param_dtype=self.param_dtype, name=name, **kw)(h)
+
+        pools = []
+        h = x.astype(self.dtype)
+        for b, block in enumerate(_VGG_BLOCKS):
+            for c, (name, features) in enumerate(block):
+                pad = _PAD_CONV1 if (b == 0 and c == 0) else 1
+                h = nn.relu(conv(h, name, width(features), (3, 3),
+                                 ((pad, pad), (pad, pad))))
+            h = _max_pool_ceil(h)
+            pools.append(h)
+        pool3, pool4 = pools[2], pools[3]
+
+        h = nn.relu(conv(h, "fc6", width(4096), (7, 7), "VALID"))
+        h = nn.Dropout(self.dropout_rate, broadcast_dims=(1, 2),
+                       deterministic=not train)(h)
+        h = nn.relu(conv(h, "fc7", width(4096), (1, 1), "VALID"))
+        h = nn.Dropout(self.dropout_rate, broadcast_dims=(1, 2),
+                       deterministic=not train)(h)
+
+        # all head params exist regardless of mode (unused ones are DCE'd)
+        f = conv(h, "score_fr", self.num_classes, (1, 1), "VALID")
+        s_small = conv(h, "seenmask_score", 2, (1, 1), "VALID")
+        p4 = conv(pool4, "score_pool4", self.num_classes, (1, 1), "VALID",
+                  zero_init=True).astype(jnp.float32)
+        p3 = conv(pool3, "score_pool3", self.num_classes, (1, 1), "VALID",
+                  zero_init=True).astype(jnp.float32)
+
+        def up_full(t, stride, kernel):
+            # uncropped transposed-conv output length (in-1)*s + K
+            oh = (t.shape[1] - 1) * stride + kernel
+            ow = (t.shape[2] - 1) * stride + kernel
+            return upsample_bilinear_cropped(
+                t.astype(jnp.float32), stride=stride, kernel_size=kernel,
+                crop_offset=0, out_h=oh, out_w=ow)
+
+        def fcn_head():
+            u2 = up_full(f, 2, 4)
+            p4c = p4[:, _CROP_POOL4:_CROP_POOL4 + u2.shape[1],
+                     _CROP_POOL4:_CROP_POOL4 + u2.shape[2], :]
+            fuse4 = u2 + p4c
+            u4 = up_full(fuse4, 2, 4)
+            p3c = p3[:, _CROP_POOL3:_CROP_POOL3 + u4.shape[1],
+                     _CROP_POOL3:_CROP_POOL3 + u4.shape[2], :]
+            fuse3 = u4 + p3c
+            return upsample_bilinear_cropped(
+                fuse3, stride=8, kernel_size=16, crop_offset=_CROP_FINAL,
+                out_h=in_h, out_w=in_w)
+
+        def seenmask_head():
+            # coarse x32 path, same as FCN32s (models/fcn32s.py)
+            return upsample_bilinear_cropped(
+                s_small.astype(jnp.float32), stride=32, kernel_size=64,
+                crop_offset=19, out_h=in_h, out_w=in_w)
+
+        if mode == "fcn":
+            return fcn_head()
+        if mode == "seenmask":
+            return seenmask_head()
+        return fcn_head(), seenmask_head()

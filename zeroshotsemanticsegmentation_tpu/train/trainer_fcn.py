@@ -132,9 +132,21 @@ class FCNTrainer:
     def train_epoch(self) -> None:
         self.train_loader.set_epoch(self.epoch)
         log = self.logger
+        profiling = False
         for batch_idx, batch in enumerate(self.train_loader):
+            # optional jax.profiler window (skip step 0: compile noise)
+            if (self.cfg.profile_steps and self.epoch == 0
+                    and batch_idx == 1 and not profiling):
+                import jax
+                jax.profiler.start_trace(osp.join(log.log_dir, "profile"))
+                profiling = True
             self.state, aux = self._train_step(self.state, self._put(batch),
                                                self._dropout_key)
+            if profiling and batch_idx >= self.cfg.profile_steps:
+                import jax
+                jax.block_until_ready(aux["loss"])
+                jax.profiler.stop_trace()
+                profiling = False
             if batch_idx % self.cfg.log_interval:
                 continue
             loss = float(aux["loss"])

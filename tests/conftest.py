@@ -24,6 +24,13 @@ assert len(jax.devices()) == 8, "tests expect 8 virtual CPU devices"
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# build the native data-path library once if the toolchain is available
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "native")
+if not os.path.exists(os.path.join(_NATIVE_DIR, "libzss_loader.so")):
+    import subprocess
+    subprocess.run(["make", "-C", _NATIVE_DIR], capture_output=True)
+
 
 @pytest.fixture
 def rng():

@@ -94,3 +94,32 @@ def test_dp_only_mesh(rng):
     mesh = make_mesh(8, 1)
     state, aux = run_steps(model, params, batch, embed, mesh=mesh, n_steps=1)
     assert np.isfinite(float(aux["loss"]))
+
+
+def test_sharded_szn_eval_matches_single_device(rng):
+    """Batched multi-chip eval: SZN stitched inference + hists on the mesh."""
+    from zeroshotsemanticsegmentation_tpu.ops.metrics import unseen_mask_vector
+    from zeroshotsemanticsegmentation_tpu.parallel import replicate
+    from zeroshotsemanticsegmentation_tpu.train.steps import make_szn_eval_step
+
+    model, params, batch, embed = build(rng, batch=4)
+    uv = jnp.asarray(unseen_mask_vector(8, [1, 3]))
+    step = make_szn_eval_step(model, loss_name="cos", num_classes=8,
+                              embeddings=embed, all_unseen_vec=uv,
+                              val_unseen_vec=uv)
+    ref = step(params, batch)
+
+    mesh = make_mesh(4, 2)
+    sp = shard_params(params, mesh)
+    sb = shard_batch({k: np.asarray(v) for k, v in batch.items()}, mesh)
+    step2 = make_szn_eval_step(model, loss_name="cos", num_classes=8,
+                               embeddings=replicate(embed, mesh),
+                               all_unseen_vec=replicate(uv, mesh),
+                               val_unseen_vec=replicate(uv, mesh))
+    out = step2(sp, sb)
+    np.testing.assert_allclose(float(ref["loss_sum"]), float(out["loss_sum"]),
+                               rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(ref["hists"]),
+                                  np.asarray(out["hists"]))
+    np.testing.assert_array_equal(np.asarray(ref["pred"]),
+                                  np.asarray(out["pred"]))

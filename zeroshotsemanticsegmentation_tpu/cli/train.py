@@ -214,6 +214,11 @@ def _parse_args(argv=None):
 
 
 def main(argv=None) -> dict:
+    import faulthandler
+    import signal
+    faulthandler.enable()
+    if hasattr(signal, "SIGUSR1"):  # live stack dumps: kill -USR1 <pid>
+        faulthandler.register(signal.SIGUSR1)
     args = _parse_args(argv)
     overrides = {}
     for src, dst in [("mode", "mode"), ("dataset", "dataset"),

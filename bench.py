@@ -1,10 +1,16 @@
 #!/usr/bin/env python
 """Headline benchmark: end-to-end SZN zero-shot inference throughput.
 
-Measures megapixels/second/chip for the flagship program — FCN-32s forward
-(both heads, bfloat16) + fused NNE cosine inference with seenmask stitching —
-on 512x512 inputs, matching BASELINE.json's north-star metric
-(target: >= 50 MP/s/chip on TPU v5e; vs_baseline = value / 50).
+Measures megapixels/second/chip for the flagship serving program — FCN-32s
+forward (bfloat16) + fused projection/upsample/argmax Pallas kernel
+(ops.szn_fused) — on 512x512 inputs, matching BASELINE.json's north-star
+metric (target: >= 50 MP/s/chip on TPU v5e; vs_baseline = value / 50).
+
+Methodology: N dependent iterations chained *inside one jit* (each step's
+labels perturb the next input), timed around a single dispatch with a scalar
+host fetch. This is immune to the two artifacts observed on this platform:
+per-call RPC latency (~30 ms synchronized) and result-dedup of repeated
+identical calls, which can fake arbitrarily high throughput.
 
 Prints exactly one JSON line.
 """
@@ -20,9 +26,8 @@ if _REPO_ROOT not in sys.path:
 
 BASELINE_MP_S = 50.0
 H = W = 512
-BATCH = 16  # throughput saturates at 16 on v5e (82.8 vs 76.2 MP/s at 8)
-WARMUP = 3
-ITERS = 30
+BATCH = 16  # throughput saturates at 16 on v5e
+CHAIN = 10  # model evaluations per dispatch
 
 
 def main() -> None:
@@ -37,7 +42,8 @@ def main() -> None:
         pass
 
     from zeroshotsemanticsegmentation_tpu.models import FCN32s
-    from zeroshotsemanticsegmentation_tpu.ops import infer_labels_szn
+    from zeroshotsemanticsegmentation_tpu.ops.szn_fused import (
+        infer_labels_szn_fused)
     from zeroshotsemanticsegmentation_tpu.ops.metrics import unseen_mask_vector
     from zeroshotsemanticsegmentation_tpu.data.assets import (
         load_class_embeddings)
@@ -51,24 +57,28 @@ def main() -> None:
     unseen_vec = jnp.asarray(unseen_mask_vector(21, [1, 13]))
 
     @jax.jit
-    def szn_infer(params, x):
-        fcn_score, seenmask_score = model.apply({"params": params}, x,
-                                                mode="both")
-        return infer_labels_szn(fcn_score, seenmask_score, embed, unseen_vec)
+    def chained(params, x):
+        def body(_, carry):
+            x, acc = carry
+            f_raw, s_raw = model.apply({"params": params}, x, mode="raw")
+            lbl = infer_labels_szn_fused(f_raw, s_raw, embed, unseen_vec,
+                                         (H, W))
+            # feed label statistics into the next input: no two iterations
+            # are identical, so nothing can be deduplicated or DCE'd
+            x = x + jnp.mean(lbl.astype(jnp.float32)) * 1e-6
+            return x, acc + jnp.sum(lbl)
+        _, acc = jax.lax.fori_loop(0, CHAIN, body,
+                                   (x, jnp.zeros((), jnp.int32)))
+        return acc
 
-    out = jax.block_until_ready(szn_infer(params, x))
-    assert out.shape == (BATCH, H, W)
-    for _ in range(WARMUP):
-        out = szn_infer(params, x)
-    jax.block_until_ready(out)
-
+    acc = chained(params, x)
+    acc.block_until_ready()  # compile + warm
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = szn_infer(params, x)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    checksum = int(chained(params, x))  # scalar host fetch = full completion
+    dt = (time.perf_counter() - t0) / CHAIN
+    assert checksum != 0
 
-    mp_per_s = BATCH * H * W * ITERS / dt / 1e6
+    mp_per_s = BATCH * H * W / dt / 1e6
     print(json.dumps({
         "metric": "szn_inference_throughput",
         "value": round(mp_per_s, 2),

@@ -81,7 +81,10 @@ class FCN32s(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False,
                  mode: str = "both"):
-        if mode not in ("fcn", "seenmask", "both"):
+        """mode ∈ {fcn, seenmask, both, raw}; 'raw' returns the pre-upsample
+        (1/32-resolution) head outputs for fused inference kernels
+        (ops.szn_fused) — upsampling commutes with the class projection."""
+        if mode not in ("fcn", "seenmask", "both", "raw"):
             raise ValueError(f"unexpected forward mode: {mode!r}")
         in_h, in_w = x.shape[1], x.shape[2]
 
@@ -112,6 +115,8 @@ class FCN32s(nn.Module):
         # and XLA dead-code-eliminates an unused score conv under jit.
         f_small = conv(h, "score_fr", self.num_classes, (1, 1), "VALID")
         s_small = conv(h, "seenmask_score", 2, (1, 1), "VALID")
+        if mode == "raw":
+            return f_small, s_small
 
         def up(s):
             return upsample_bilinear_cropped(

@@ -1,0 +1,152 @@
+"""Fully-fused SZN inference: class projection + bilinear upsample + stitched
+argmax from the 1/32-resolution heads — full-res score volumes never exist.
+
+Algebra: the ×32 bilinear upscore is linear and per-channel, and the class
+projection is per-pixel linear, so they commute:
+
+    upsample(score) · ê_k  ==  upsample(score · ê_k)        (ê = e/‖e‖)
+
+and the per-pixel score norm is argmax-invariant (see ops.nne_pallas). The
+same holds for the seenmask gate: sign(upsample(s₀-s₁)) == seenmask argmax of
+the upsampled head. So SZN inference needs only the (B, h₃₂, w₃₂, C) raw
+heads:
+
+  1. XLA pre-stage (tiny tensors): sims_small = score_small @ êᵀ, gate_small
+     appended as an extra "class" row, row-axis upsample via the interp
+     matrix → (B, out_h, K+1, w₃₂) ≈ a few MB.
+  2. Pallas kernel: per output-row tile, column-upsample via one (K+1, w₃₂) ×
+     (w₃₂, out_w) MXU dot, masked seen/unseen argmaxes (reference
+     masked-class-= 0.0 semantics), gate select — emits int32 labels.
+
+HBM traffic for B=16 512²: ~28 MB total vs ~700 MB for the unfused path
+(materialized score + seenmask volumes + NNE reads).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from zeroshotsemanticsegmentation_tpu.ops.bilinear import upsample_matrix
+
+_UPSAMPLE_STRIDE = 32
+_UPSAMPLE_KERNEL = 64
+_CROP_OFFSET = 19
+
+DEFAULT_ROW_TILE = 64
+
+
+def _kernel(rows_ref, mw_ref, seen_ref, unseen_ref, fill_ref, out_ref):
+    ty = rows_ref.shape[0]
+
+    def body(y, _):
+        s = rows_ref[y]  # (K+1, w32)
+        up = jnp.dot(s, mw_ref[:], preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)  # (K+1, out_w)
+        # fill: 0.0 for excluded real classes (reference zeroed-row quirk),
+        # -1e30 for the appended gate row so it can never win an argmax
+        seen_vals = jnp.where(seen_ref[:] != 0, up, fill_ref[:])
+        unseen_vals = jnp.where(unseen_ref[:] != 0, up, fill_ref[:])
+        seen_arg = jnp.argmax(seen_vals, axis=0).astype(jnp.int32)
+        unseen_arg = jnp.argmax(unseen_vals, axis=0).astype(jnp.int32)
+        # static slice (jnp's [-1, :] sugar lowers to dynamic_slice, which
+        # Mosaic TC does not implement for values)
+        gate_row = jax.lax.slice_in_dim(up, up.shape[0] - 1, up.shape[0],
+                                        axis=0)[0]
+        gate = gate_row >= 0.0  # upsampled (s0 - s1); >=0 => unseen pixel
+        out_ref[y, :] = jnp.where(gate, unseen_arg, seen_arg)
+        return 0
+
+    jax.lax.fori_loop(0, ty, body, 0)
+
+
+def _interpret_default() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+@functools.partial(jax.jit, static_argnames=("out_h", "out_w", "row_tile",
+                                             "interpret"))
+def _fused(score_small, gate_small, embed_scaled, seen_mask, unseen_mask,
+           fill, out_h: int, out_w: int, row_tile: int, interpret: bool):
+    b, h32, w32, c = score_small.shape
+    k = embed_scaled.shape[0]
+
+    sims = jnp.einsum("bhwc,kc->bhwk", score_small.astype(jnp.float32),
+                      embed_scaled, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+    aug = jnp.concatenate([sims, gate_small[..., None]], axis=-1)  # K+1
+
+    mh = jnp.asarray(upsample_matrix(h32, _UPSAMPLE_STRIDE, _UPSAMPLE_KERNEL,
+                                     _CROP_OFFSET, out_h))
+    mw = jnp.asarray(upsample_matrix(w32, _UPSAMPLE_STRIDE, _UPSAMPLE_KERNEL,
+                                     _CROP_OFFSET, out_w)).T  # (w32, out_w)
+    rows = jnp.einsum("Yh,bhwk->bYkw", mh, aug,
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+    n_rows = b * out_h
+    pad = (-n_rows) % row_tile
+    flat = rows.reshape(n_rows, k + 1, w32)
+    if pad:
+        flat = jnp.pad(flat, ((0, pad), (0, 0), (0, 0)))
+
+    out = pl.pallas_call(
+        _kernel,
+        grid=((n_rows + pad) // row_tile,),
+        in_specs=[
+            pl.BlockSpec((row_tile, k + 1, w32), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w32, out_w), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k + 1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k + 1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k + 1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((row_tile, out_w), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_rows + pad, out_w), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (n_rows + pad) * (k + 1) * w32 * out_w,
+            bytes_accessed=(n_rows + pad) * ((k + 1) * w32 * 4 + out_w * 4),
+            transcendentals=0),
+        interpret=interpret,
+    )(flat, mw, seen_mask, unseen_mask, fill)
+    return out[:n_rows].reshape(b, out_h, out_w)
+
+
+def infer_labels_szn_fused(score_small: jnp.ndarray,
+                           seenmask_small: jnp.ndarray,
+                           embeddings: jnp.ndarray,
+                           unseen_class_mask,
+                           out_hw: tuple[int, int],
+                           *, row_tile: int = DEFAULT_ROW_TILE,
+                           interpret: bool | None = None) -> jnp.ndarray:
+    """SZN labels from raw (1/32-res) heads (model mode='raw').
+
+    Equivalent to upsampling both heads and running
+    ops.nne.infer_labels_szn — validated against it in tests.
+    """
+    e = embeddings.astype(jnp.float32)
+    norm2 = jnp.sum(e * e, axis=1, keepdims=True)
+    embed_scaled = e / jnp.sqrt(jnp.where(norm2 == 0, 1.0, norm2))
+    k = e.shape[0]
+    unseen_vec = jnp.asarray(unseen_class_mask)
+    # gate occupies the appended row K: excluded from both class partitions
+    seen = jnp.concatenate([(~unseen_vec).astype(jnp.float32),
+                            jnp.zeros((1,), jnp.float32)])[:, None]
+    unseen = jnp.concatenate([unseen_vec.astype(jnp.float32),
+                              jnp.zeros((1,), jnp.float32)])[:, None]
+    fill = jnp.concatenate([jnp.zeros((k,), jnp.float32),
+                            jnp.full((1,), -1e30, jnp.float32)])[:, None]
+    gate_small = (seenmask_small[..., 0]
+                  - seenmask_small[..., 1]).astype(jnp.float32)
+    assert embed_scaled.shape == (k, score_small.shape[-1])
+    return _fused(score_small, gate_small, embed_scaled, seen, unseen, fill,
+                  int(out_hw[0]), int(out_hw[1]), row_tile,
+                  _interpret_default() if interpret is None else interpret)

@@ -26,6 +26,7 @@
 
 #include <jpeglib.h>
 #include <png.h>
+#include <zlib.h>
 
 namespace {
 
@@ -124,6 +125,187 @@ bool decode_png_gray(const char* path, std::vector<uint16_t>* out,
   return true;
 }
 
+// ---------------------------------------------------------------------------
+// MATLAB v5 .mat reader — just enough for SBD GTcls segmentation labels
+// (reference pascal_dataset.py:70-71: mat['GTcls'][0]['Segmentation'][0]).
+// Supports little-endian files, miCOMPRESSED top elements (zlib), struct
+// arrays, and uint8/int8/uint16/int16/int32/double numeric matrices stored
+// column-major.
+// ---------------------------------------------------------------------------
+
+constexpr uint32_t miINT32 = 5, miUINT32 = 6, miMATRIX = 14, miCOMPRESSED = 15;
+
+struct Cursor {
+  const uint8_t* p;
+  size_t n;
+};
+
+uint32_t rd32(const uint8_t* p) {
+  uint32_t v;
+  std::memcpy(&v, p, 4);
+  return v;
+}
+
+// Reads one data element (handles the small-element format); advances cur.
+bool next_element(Cursor* cur, uint32_t* type, uint32_t* bytes,
+                  const uint8_t** data) {
+  if (cur->n < 8) return false;
+  uint32_t t = rd32(cur->p);
+  if (t >> 16) {  // small element: size in upper 16 bits, data inline
+    *type = t & 0xffff;
+    *bytes = t >> 16;
+    *data = cur->p + 4;
+    cur->p += 8;
+    cur->n -= 8;
+    return *bytes <= 4;
+  }
+  *type = t;
+  *bytes = rd32(cur->p + 4);
+  *data = cur->p + 8;
+  if (cur->n < 8 + size_t(*bytes)) return false;
+  // the final element may omit its 8-byte alignment padding at EOF
+  size_t padded = (*bytes + 7) & ~size_t(7);
+  size_t adv = 8 + padded < cur->n ? 8 + padded : cur->n;
+  cur->p += adv;
+  cur->n -= adv;
+  return true;
+}
+
+// Parse a numeric miMATRIX payload into int32 row-major; returns false if not
+// a 2-D numeric matrix.
+bool parse_numeric_matrix(Cursor body, std::vector<int32_t>* out,
+                          int* h, int* w) {
+  uint32_t type, bytes;
+  const uint8_t* data;
+  if (!next_element(&body, &type, &bytes, &data) || type != miUINT32)
+    return false;  // array flags
+  if (!next_element(&body, &type, &bytes, &data) || type != miINT32 ||
+      bytes != 8)
+    return false;  // dims (2-D only)
+  int rows = int(rd32(data)), cols = int(rd32(data + 4));
+  if (!next_element(&body, &type, &bytes, &data)) return false;  // name
+  if (!next_element(&body, &type, &bytes, &data)) return false;  // real part
+  size_t count = size_t(rows) * cols;
+  out->resize(count);
+  auto fill = [&](auto get, size_t elem) {
+    if (bytes < count * elem) return false;
+    for (int c = 0; c < cols; ++c)
+      for (int r = 0; r < rows; ++r)  // column-major -> row-major
+        (*out)[size_t(r) * cols + c] = get(data + (size_t(c) * rows + r) * elem);
+    return true;
+  };
+  bool ok;
+  switch (type) {
+    case 1:  // miINT8
+      ok = fill([](const uint8_t* p) { return int32_t(int8_t(*p)); }, 1);
+      break;
+    case 2:  // miUINT8
+      ok = fill([](const uint8_t* p) { return int32_t(*p); }, 1);
+      break;
+    case 3:  // miINT16
+      ok = fill([](const uint8_t* p) { int16_t v; std::memcpy(&v, p, 2);
+                                       return int32_t(v); }, 2);
+      break;
+    case 4:  // miUINT16
+      ok = fill([](const uint8_t* p) { uint16_t v; std::memcpy(&v, p, 2);
+                                       return int32_t(v); }, 2);
+      break;
+    case miINT32:
+      ok = fill([](const uint8_t* p) { int32_t v; std::memcpy(&v, p, 4);
+                                       return v; }, 4);
+      break;
+    case 9:  // miDOUBLE
+      ok = fill([](const uint8_t* p) { double v; std::memcpy(&v, p, 8);
+                                       return int32_t(v); }, 8);
+      break;
+    default:
+      return false;
+  }
+  if (!ok) return false;
+  *h = rows;
+  *w = cols;
+  return true;
+}
+
+// Walk a struct miMATRIX payload and extract the named field's numeric matrix.
+bool parse_struct_field(Cursor body, const char* want_field,
+                        std::vector<int32_t>* out, int* h, int* w) {
+  uint32_t type, bytes;
+  const uint8_t* data;
+  if (!next_element(&body, &type, &bytes, &data) || type != miUINT32 ||
+      bytes < 8)
+    return false;
+  uint32_t array_class = rd32(data) & 0xff;
+  if (array_class != 2) return false;  // mxSTRUCT_CLASS
+  if (!next_element(&body, &type, &bytes, &data)) return false;  // dims
+  if (!next_element(&body, &type, &bytes, &data)) return false;  // name
+  if (!next_element(&body, &type, &bytes, &data) || bytes < 4)
+    return false;  // field name length
+  int fnlen = int(rd32(data));
+  if (fnlen <= 0 || fnlen > 256) return false;
+  if (!next_element(&body, &type, &bytes, &data)) return false;  // field names
+  int n_fields = int(bytes) / fnlen;
+  int want = -1;
+  for (int i = 0; i < n_fields; ++i) {
+    const char* name = reinterpret_cast<const char*>(data) + size_t(i) * fnlen;
+    if (std::strncmp(name, want_field, fnlen) == 0) want = i;
+  }
+  if (want < 0) return false;
+  for (int i = 0; i <= want; ++i) {  // fields follow in declaration order
+    if (!next_element(&body, &type, &bytes, &data) || type != miMATRIX)
+      return false;
+    if (i == want)
+      return parse_numeric_matrix(Cursor{data, bytes}, out, h, w);
+  }
+  return false;
+}
+
+bool decode_mat_label(const char* path, std::vector<int32_t>* out,
+                      int* h, int* w) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return false;
+  fseek(f, 0, SEEK_END);
+  long fsize = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  if (fsize < 136) { fclose(f); return false; }
+  std::vector<uint8_t> buf(static_cast<size_t>(fsize));
+  bool read_ok = fread(buf.data(), 1, size_t(fsize), f) == size_t(fsize);
+  fclose(f);
+  if (!read_ok) return false;
+  // 128-byte header; bytes 126-127 are the endian indicator "IM" (LE)
+  if (!(buf[126] == 'I' && buf[127] == 'M')) return false;
+
+  Cursor cur{buf.data() + 128, size_t(fsize) - 128};
+  uint32_t type, bytes;
+  const uint8_t* data;
+  std::vector<uint8_t> inflated;
+  while (next_element(&cur, &type, &bytes, &data)) {
+    Cursor body{data, bytes};
+    if (type == miCOMPRESSED) {
+      // inflate; SBD GTcls elements are a few hundred KB uncompressed
+      inflated.resize(size_t(bytes) * 8 + (1 << 16));
+      uLongf dst_len = uLongf(inflated.size());
+      for (int attempt = 0; attempt < 4; ++attempt) {
+        int rc = uncompress(inflated.data(), &dst_len, data, bytes);
+        if (rc == Z_OK) break;
+        if (rc != Z_BUF_ERROR) return false;
+        inflated.resize(inflated.size() * 4);
+        dst_len = uLongf(inflated.size());
+      }
+      Cursor icur{inflated.data(), size_t(dst_len)};
+      uint32_t itype, ibytes;
+      const uint8_t* idata;
+      if (!next_element(&icur, &itype, &ibytes, &idata) || itype != miMATRIX)
+        continue;
+      body = Cursor{idata, ibytes};
+    } else if (type != miMATRIX) {
+      continue;
+    }
+    if (parse_struct_field(body, "Segmentation", out, h, w)) return true;
+  }
+  return false;
+}
+
 int decode_image_impl(const char* path, float* out, int bucket_h,
                       int bucket_w, int* size_hw) {
   std::vector<uint8_t> rgb;
@@ -148,16 +330,33 @@ int decode_image_impl(const char* path, float* out, int bucket_h,
 int decode_label_impl(const char* path, int32_t* out, int bucket_h,
                       int bucket_w, int value_offset, int map255_to_ignore,
                       int* size_hw) {
-  std::vector<uint16_t> gray;
+  // dispatch by magic bytes: PNG label maps or MATLAB v5 (SBD GTcls)
+  uint8_t magic[8] = {0};
+  {
+    FILE* f = fopen(path, "rb");
+    if (!f) return -1;
+    size_t got = fread(magic, 1, sizeof magic, f);
+    fclose(f);
+    if (got < sizeof magic) return -1;
+  }
+  std::vector<int32_t> vals;
   int h = 0, w = 0;
-  if (!decode_png_gray(path, &gray, &h, &w)) return -1;
+  if (magic[0] == 0x89 && magic[1] == 'P') {
+    std::vector<uint16_t> gray;
+    if (!decode_png_gray(path, &gray, &h, &w)) return -1;
+    vals.assign(gray.begin(), gray.end());
+  } else if (std::memcmp(magic, "MATLAB", 6) == 0) {
+    if (!decode_mat_label(path, &vals, &h, &w)) return -3;
+  } else {
+    return -4;  // unsupported label format
+  }
   if (h > bucket_h || w > bucket_w) return -2;
   for (int i = 0; i < bucket_h * bucket_w; ++i) out[i] = -1;  // pad = ignore
   for (int y = 0; y < h; ++y) {
     int32_t* dst = out + size_t(y) * bucket_w;
-    const uint16_t* src = gray.data() + size_t(y) * w;
+    const int32_t* src = vals.data() + size_t(y) * w;
     for (int x = 0; x < w; ++x) {
-      int32_t v = int32_t(src[x]);
+      int32_t v = src[x];
       if (map255_to_ignore && v == 255) v = -1;    // pascal 255 -> -1
       else v += value_offset;                      // context 1-indexed -> -1
       dst[x] = v;

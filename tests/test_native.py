@@ -98,14 +98,35 @@ def test_batch_loader_native_matches_python(tmp_path, rng):
         np.testing.assert_allclose(a["image"], b["image"], atol=2.0)
 
 
-def test_batch_loader_native_train_split_falls_back(tmp_path, rng):
-    """SBD .mat labels (train split) silently use the Python path."""
+def test_batch_loader_native_train_split_mat_labels(tmp_path, rng):
+    """SBD .mat train labels decode natively (MAT5 parser) == Python path."""
     from tests.test_data import _make_pascal_tree
     from zeroshotsemanticsegmentation_tpu.data import BatchLoader, PascalVOC
     data_dir, assets_dir = _make_pascal_tree(tmp_path, tmp_path / "assets")
     ds = PascalVOC("train", data_dir=data_dir, assets_dir=assets_dir)
-    loader = BatchLoader(ds, 2, bucket_hw=(48, 48))
-    assert loader._native is None
-    assert len(list(loader)) == len(loader)
-    with pytest.raises(RuntimeError):
-        BatchLoader(ds, 2, bucket_hw=(48, 48), use_native=True)
+    nat = list(BatchLoader(ds, 2, bucket_hw=(48, 48), use_native=True))
+    py = list(BatchLoader(ds, 2, bucket_hw=(48, 48), use_native=False))
+    for a, b in zip(nat, py):
+        assert a["ids"] == b["ids"]
+        np.testing.assert_array_equal(a["label"], b["label"])
+        np.testing.assert_array_equal(a["sizes"], b["sizes"])
+        np.testing.assert_allclose(a["image"], b["image"], atol=2.0)
+
+
+def test_decode_mat_label_matches_scipy(tmp_path, rng):
+    """MAT5 GTcls decode vs scipy, compressed and uncompressed."""
+    import scipy.io
+    for comp in (False, True):
+        lbl = rng.randint(0, 21, size=(37, 53)).astype(np.uint8)
+        lbl[::9, ::9] = 255
+        path = str(tmp_path / f"l{int(comp)}.mat")
+        scipy.io.savemat(path, {"GTcls": {
+            "Segmentation": lbl, "CategoriesPresent": np.unique(lbl)}},
+            do_compression=comp)
+        nl = NativeLoader.get()
+        out, size = nl.decode_label(path, (64, 64), map255_to_ignore=True)
+        want = lbl.astype(np.int32)
+        want[want == 255] = -1
+        np.testing.assert_array_equal(out[:37, :53], want)
+        assert size == (37, 53)
+        assert (out[37:] == -1).all()

@@ -39,9 +39,8 @@ class PascalVOC(SegDatasetBase):
         return osp.join(self._voc_dir(), "SegmentationClass", f"{did}.png")
 
     def native_label_kwargs(self) -> dict | None:
-        """PNG-label splits decode natively; SBD .mat splits fall back."""
-        if self.split in ("train", "train_seen"):
-            return None
+        """All pascal splits decode natively: the loader dispatches on file
+        magic (VOC PNG label maps and SBD MAT5 GTcls structs)."""
         return {"value_offset": 0, "map255_to_ignore": True}
 
     def _load_image(self, did: str) -> np.ndarray:

@@ -45,11 +45,36 @@ def _to_host(tree):
     return jax.tree_util.tree_map(np.asarray, tree)
 
 
-def _save_one(ckptr, path: str, tree: dict, meta: dict) -> None:
+_PENDING_META: tuple | None = None
+
+# a process exit with a save in flight must still produce a valid checkpoint
+import atexit  # noqa: E402
+
+atexit.register(lambda: _finish_pending())
+
+
+def _finish_pending() -> None:
+    """Complete the previous async save (write its meta.json marker)."""
+    global _PENDING_META
+    if _PENDING_META is not None:
+        ckptr, path, meta = _PENDING_META
+        ckptr.wait_until_finished()
+        with open(osp.join(path, _META), "w") as f:
+            json.dump(meta, f)
+        _PENDING_META = None
+
+
+def _save_one(ckptr, path: str, tree: dict, meta: dict, *,
+              block: bool) -> None:
+    """Start an orbax save; meta.json is written only after completion, so a
+    checkpoint dir is valid iff meta.json exists. With block=False the wait
+    happens lazily at the next save (training overlaps serialization — a full
+    FCN32s+Adam tree is ~1.6 GB and ~1 min of I/O on slow hosts)."""
+    global _PENDING_META
     ckptr.save(osp.join(path, _TREE), tree, force=True)
-    ckptr.wait_until_finished()
-    with open(osp.join(path, _META), "w") as f:
-        json.dump(meta, f)
+    _PENDING_META = (ckptr, path, meta)
+    if block:
+        _finish_pending()
 
 
 def _link_copy(src: str, dst: str) -> None:
@@ -63,13 +88,16 @@ def _link_copy(src: str, dst: str) -> None:
 def save_checkpoint(log_dir: str, *, params, opt_state, epoch: int,
                     iteration: int, best_mean_iu: float,
                     is_best: bool) -> None:
+    _finish_pending()  # the previous async save must land first
     tree = {"params": _to_host(params), "opt_state": _to_host(opt_state)}
     meta = {"arch": ARCH, "epoch": int(epoch), "iteration": int(iteration),
             "best_mean_iu": float(best_mean_iu)}
     ckptr = _checkpointer()
     base = osp.abspath(log_dir)
     os.makedirs(base, exist_ok=True)
-    _save_one(ckptr, osp.join(base, "checkpoint"), tree, meta)
+    # best saves block (the hardlink copy needs complete files); routine
+    # checkpoints overlap the next training epoch
+    _save_one(ckptr, osp.join(base, "checkpoint"), tree, meta, block=is_best)
     if is_best:
         # reference copies the file (trainer_fcn.py:291-292); serializing the
         # multi-GB tree twice per eval stalls training, hardlinks don't
@@ -79,6 +107,7 @@ def save_checkpoint(log_dir: str, *, params, opt_state, epoch: int,
 def restore_checkpoint(path: str, target: Any | None = None) -> dict:
     """Restore '<log_dir>/best' or '<log_dir>/checkpoint' into one dict
     {arch, epoch, iteration, best_mean_iu, params, opt_state}."""
+    _finish_pending()  # an in-flight save may be the checkpoint being read
     path = osp.abspath(path)
     ckptr = _checkpointer()
     if target is not None:

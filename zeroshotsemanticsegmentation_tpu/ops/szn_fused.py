@@ -41,27 +41,23 @@ DEFAULT_ROW_TILE = 64
 
 
 def _kernel(rows_ref, mw_ref, seen_ref, unseen_ref, fill_ref, out_ref):
-    ty = rows_ref.shape[0]
-
-    def body(y, _):
-        s = rows_ref[y]  # (K+1, w32)
-        up = jnp.dot(s, mw_ref[:], preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)  # (K+1, out_w)
-        # fill: 0.0 for excluded real classes (reference zeroed-row quirk),
-        # -1e30 for the appended gate row so it can never win an argmax
-        seen_vals = jnp.where(seen_ref[:] != 0, up, fill_ref[:])
-        unseen_vals = jnp.where(unseen_ref[:] != 0, up, fill_ref[:])
-        seen_arg = jnp.argmax(seen_vals, axis=0).astype(jnp.int32)
-        unseen_arg = jnp.argmax(unseen_vals, axis=0).astype(jnp.int32)
-        # static slice (jnp's [-1, :] sugar lowers to dynamic_slice, which
-        # Mosaic TC does not implement for values)
-        gate_row = jax.lax.slice_in_dim(up, up.shape[0] - 1, up.shape[0],
-                                        axis=0)[0]
-        gate = gate_row >= 0.0  # upsampled (s0 - s1); >=0 => unseen pixel
-        out_ref[y, :] = jnp.where(gate, unseen_arg, seen_arg)
-        return 0
-
-    jax.lax.fori_loop(0, ty, body, 0)
+    ty, kp1, w32 = rows_ref.shape
+    out_w = mw_ref.shape[1]
+    # ONE batched MXU dot for the whole row tile (a per-row fori of tiny dots
+    # was latency-bound: 17x the bandwidth floor on v5e)
+    s = rows_ref[...].reshape(ty * kp1, w32)
+    up = jnp.dot(s, mw_ref[:], preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)  # (TY*(K+1), out_w)
+    u3 = up.reshape(ty, kp1, out_w)
+    # fill: 0.0 for excluded real classes (reference zeroed-row quirk),
+    # -1e30 for the appended gate row so it can never win an argmax
+    seen_vals = jnp.where(seen_ref[:][None, :, :] != 0, u3, fill_ref[:][None])
+    unseen_vals = jnp.where(unseen_ref[:][None, :, :] != 0, u3,
+                            fill_ref[:][None])
+    seen_arg = jnp.argmax(seen_vals, axis=1).astype(jnp.int32)    # (TY, out_w)
+    unseen_arg = jnp.argmax(unseen_vals, axis=1).astype(jnp.int32)
+    gate_row = jax.lax.slice_in_dim(u3, kp1 - 1, kp1, axis=1)[:, 0, :]
+    out_ref[...] = jnp.where(gate_row >= 0.0, unseen_arg, seen_arg)
 
 
 def _interpret_default() -> bool:

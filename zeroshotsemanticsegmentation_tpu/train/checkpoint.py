@@ -59,8 +59,12 @@ def _finish_pending() -> None:
     if _PENDING_META is not None:
         ckptr, path, meta = _PENDING_META
         ckptr.wait_until_finished()
-        with open(osp.join(path, _META), "w") as f:
+        # write + rename: meta.json may be hardlinked into best/ — an
+        # in-place rewrite would corrupt the best checkpoint's metadata
+        tmp = osp.join(path, _META + ".tmp")
+        with open(tmp, "w") as f:
             json.dump(meta, f)
+        os.replace(tmp, osp.join(path, _META))
         _PENDING_META = None
 
 

@@ -22,7 +22,8 @@ def test_cli_overrides_map_to_config(monkeypatch):
               "-o", "sgd", "-se", "2", "-slr", "0.5", "-tu", "2,3",
               "-vu", "4", "-oh", "-fu", "--batch_size", "4",
               "--eval_batch_size", "4", "--dtype", "float32",
-              "--arch", "fcn8s", "--synthetic", "-e", "21"])
+              "--arch", "fcn8s", "--synthetic", "-e", "21",
+              "--bucket", "96", "--channel_scale", "0.5"])
     cfg = captured["cfg"]
     assert cfg.fcn_epochs == 3 and cfg.fcn_lr == 0.01
     assert cfg.fcn_loss == "mse" and cfg.fcn_optim == "sgd"
@@ -31,6 +32,7 @@ def test_cli_overrides_map_to_config(monkeypatch):
     assert cfg.one_hot_embed and cfg.forced_unseen
     assert cfg.batch_size == 4 and cfg.compute_dtype == "float32"
     assert cfg.arch == "fcn8s" and cfg.embed_dim == 21
+    assert cfg.bucket == (96, 96) and cfg.channel_scale == 0.5
     assert captured["synthetic"] is True
 
 
@@ -73,3 +75,31 @@ def test_checkpoint_roundtrip_and_hardlink_best(tmp_path, rng):
     assert latest["epoch"] == 3 and best["epoch"] == 2
     np.testing.assert_array_equal(best["params"]["conv"]["kernel"],
                                   params["conv"]["kernel"])
+
+
+def test_cli_main_end_to_end_synthetic(tmp_path):
+    """Full argv-level run: thin model, 1 epoch, both stages, CPU."""
+    out = cli.main(["-c", "14", "-ve", "1", "-se", "1", "--synthetic",
+                    "--batch_size", "2", "--eval_batch_size", "2",
+                    "--bucket", "64", "--channel_scale", "0.03125",
+                    "--dtype", "float32", "-dir", str(tmp_path)])
+    assert osp.exists(osp.join(out["log_dir"], "train_log.csv"))
+    assert osp.exists(osp.join(out["log_dir"], "seenmask_train_log.csv"))
+    assert ckpt.checkpoint_exists(osp.join(out["log_dir"], "best"))
+    assert np.isfinite(out["best_mean_iu"])
+
+
+def test_batch_loader_propagates_producer_errors():
+    """A decode failure raises in the consumer instead of deadlocking."""
+    from zeroshotsemanticsegmentation_tpu.data import BatchLoader
+
+    class Broken:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            raise ValueError("decode exploded")
+
+    loader = BatchLoader(Broken(), 2, bucket_hw=(32, 32))
+    with pytest.raises(ValueError, match="decode exploded"):
+        list(loader)

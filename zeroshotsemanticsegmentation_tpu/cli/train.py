@@ -32,9 +32,10 @@ from zeroshotsemanticsegmentation_tpu.utils import RunLogger
 
 def _build_datasets(cfg, *, data_dir, synthetic):
     if synthetic:
+        hi = min(cfg.bucket)
         mk = lambda n, seed: SyntheticDataset(  # noqa: E731
             num_images=n, num_classes=cfg.num_classes,
-            size_range=(64, min(cfg.bucket)), seed=seed)
+            size_range=(min(64, hi), hi), seed=seed)
         return mk(8, 0), mk(6, 1), mk(4, 2)
     cls = PascalVOC if cfg.dataset == "pascal" else PascalContext
     kw = dict(data_dir=data_dir, val_unseen=list(cfg.val_unseen))
@@ -208,6 +209,10 @@ def _parse_args(argv=None):
     p.add_argument("--model_parallel", type=int)
     p.add_argument("--synthetic", action="store_true",
                    help="synthetic data (smoke runs without datasets)")
+    p.add_argument("--bucket", type=int, default=None,
+                   help="static square bucket size (default 512)")
+    p.add_argument("--channel_scale", type=float, default=None,
+                   help="backbone width multiplier (<1 for smoke tests)")
     p.add_argument("--vgg16", type=str, default=None,
                    help="path to a torch VGG16 state dict (.pth)")
     return p.parse_args(argv)
@@ -232,7 +237,8 @@ def main(argv=None) -> dict:
                      ("eval_batch_size", "eval_batch_size"),
                      ("dtype", "compute_dtype"),
                      ("data_parallel", "data_parallel"),
-                     ("model_parallel", "model_parallel")]:
+                     ("model_parallel", "model_parallel"),
+                     ("channel_scale", "channel_scale")]:
         v = getattr(args, src)
         if v is not None:
             overrides[dst] = v
@@ -243,6 +249,8 @@ def main(argv=None) -> dict:
         v = getattr(args, lst)
         if v:
             overrides[lst] = tuple(int(x) for x in v.split(","))
+    if args.bucket is not None:
+        overrides["bucket"] = (args.bucket, args.bucket)
     if args.resume:
         overrides["load_fcn_path"] = args.resume
 

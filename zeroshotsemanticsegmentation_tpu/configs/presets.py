@@ -147,6 +147,8 @@ def validate_config(cfg: Config) -> None:
         raise ValueError("mesh axes must be >= 1")
     if cfg.batch_size % cfg.data_parallel or cfg.eval_batch_size % cfg.data_parallel:
         raise ValueError("batch sizes must divide by data_parallel")
+    if len(cfg.bucket) != 2 or min(cfg.bucket) < 1:
+        raise ValueError(f"bucket must be two positive ints, got {cfg.bucket}")
 
 
 def run_name(preset: int, cfg: Config, *, name: str | None = None,

@@ -125,20 +125,27 @@ class BatchLoader:
         stop = threading.Event()
 
         def produce():
-            if self._native is not None:
-                loader, kwargs = self._native
-                for chunk in chunks:
-                    if stop.is_set():
-                        return
-                    out.put(self._assemble_native(loader, kwargs, chunk))
-                out.put(None)
+            # any decode error must reach the consumer — a dead producer
+            # with no sentinel would deadlock the training loop
+            try:
+                if self._native is not None:
+                    loader, kwargs = self._native
+                    for chunk in chunks:
+                        if stop.is_set():
+                            return
+                        out.put(self._assemble_native(loader, kwargs, chunk))
+                else:
+                    with ThreadPoolExecutor(
+                            max_workers=self.num_threads) as pool:
+                        for chunk in chunks:
+                            if stop.is_set():
+                                return
+                            samples = list(pool.map(self.dataset.__getitem__,
+                                                    chunk))
+                            out.put(self._assemble(samples))
+            except BaseException as e:  # noqa: BLE001 — re-raised by consumer
+                out.put(e)
                 return
-            with ThreadPoolExecutor(max_workers=self.num_threads) as pool:
-                for chunk in chunks:
-                    if stop.is_set():
-                        return
-                    samples = list(pool.map(self.dataset.__getitem__, chunk))
-                    out.put(self._assemble(samples))
             out.put(None)
 
         worker = threading.Thread(target=produce, daemon=True)
@@ -148,6 +155,8 @@ class BatchLoader:
                 batch = out.get()
                 if batch is None:
                     return
+                if isinstance(batch, BaseException):
+                    raise batch
                 yield batch
         finally:
             stop.set()

@@ -26,8 +26,8 @@ if _REPO_ROOT not in sys.path:
 
 BASELINE_MP_S = 50.0
 H = W = 512
-BATCH = 16  # throughput saturates at 16 on v5e
-CHAIN = 10  # model evaluations per dispatch
+BATCH = 32  # best measured batch on v5e (84 vs 78 MP/s at 16)
+CHAIN = 8   # model evaluations per dispatch
 
 
 def main() -> None:

@@ -191,3 +191,28 @@ def test_fcn8s_trains_end_to_end(tmp_path, rng):
                          log_dir=str(tmp_path / "fcn8s"), synthetic=True,
                          verbose=False)
     assert np.isfinite(out["best_mean_iu"])
+
+
+def test_remat_preserves_params_and_outputs(rng):
+    """remat=True: identical param tree and forward outputs, grads finite."""
+    from zeroshotsemanticsegmentation_tpu.models import FCN8s
+    x = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+    for cls in (FCN32s, FCN8s):
+        base = cls(num_classes=EMBED_DIM, channel_scale=1 / 16)
+        rem = cls(num_classes=EMBED_DIM, channel_scale=1 / 16, remat=True)
+        vb = base.init(jax.random.PRNGKey(0), x, mode="both")
+        vr = rem.init(jax.random.PRNGKey(0), x, mode="both")
+        assert (jax.tree_util.tree_structure(vb) ==
+                jax.tree_util.tree_structure(vr))
+        fb, _ = base.apply(vb, x, mode="both")
+        fr, _ = rem.apply(vb, x, mode="both")  # same params through remat
+        np.testing.assert_allclose(np.asarray(fb), np.asarray(fr),
+                                   rtol=1e-5, atol=1e-5)
+
+        def loss(p):
+            out = rem.apply({"params": p}, x, mode="fcn")
+            return jnp.sum(out ** 2)
+
+        g = jax.grad(loss)(vb["params"])
+        assert all(np.isfinite(np.asarray(l)).all()
+                   for l in jax.tree_util.tree_leaves(g))

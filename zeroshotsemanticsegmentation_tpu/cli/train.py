@@ -105,7 +105,7 @@ def run_experiment(cfg, *, preset: int = 0, name: str | None = None,
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     model_cls = FCN8s if cfg.arch == "fcn8s" else FCN32s
     model = model_cls(num_classes=cfg.head_channels, dtype=dtype,
-                      channel_scale=cfg.channel_scale)
+                      channel_scale=cfg.channel_scale, remat=cfg.remat)
     sample = jnp.zeros((1, cfg.bucket[0], cfg.bucket[1], 3), jnp.float32)
     params = jax.jit(
         lambda: model.init(jax.random.PRNGKey(cfg.seed), sample,
@@ -213,6 +213,8 @@ def _parse_args(argv=None):
                    help="static square bucket size (default 512)")
     p.add_argument("--channel_scale", type=float, default=None,
                    help="backbone width multiplier (<1 for smoke tests)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize conv blocks (larger train batches)")
     p.add_argument("--vgg16", type=str, default=None,
                    help="path to a torch VGG16 state dict (.pth)")
     return p.parse_args(argv)
@@ -242,7 +244,7 @@ def main(argv=None) -> dict:
         v = getattr(args, src)
         if v is not None:
             overrides[dst] = v
-    for flag in ["one_hot_embed", "forced_unseen"]:
+    for flag in ["one_hot_embed", "forced_unseen", "remat"]:
         if getattr(args, flag):
             overrides[flag] = True
     for lst in ["train_unseen", "val_unseen"]:

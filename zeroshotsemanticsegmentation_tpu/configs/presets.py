@@ -49,6 +49,7 @@ class Config:
     max_train_images: int = 0              # 0 => dataset default budget
     num_viz: int = 25                      # reference trainer_fcn.py:204
     channel_scale: float = 1.0             # <1: thin model (tests/dryruns only)
+    remat: bool = False                    # rematerialize blocks (big batches)
     profile_steps: int = 0                 # >0: jax.profiler trace of N steps
 
     @property

@@ -77,6 +77,10 @@ class FCN32s(nn.Module):
     param_dtype: Any = jnp.float32
     dropout_rate: float = 0.5
     channel_scale: float = 1.0  # <1 shrinks all backbone widths (tests/dryruns)
+    remat: bool = False  # rematerialize conv blocks (larger train batches)
+
+    def width(self, f: int) -> int:
+        return max(8, int(f * self.channel_scale))
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False,
@@ -88,20 +92,29 @@ class FCN32s(nn.Module):
             raise ValueError(f"unexpected forward mode: {mode!r}")
         in_h, in_w = x.shape[1], x.shape[2]
 
-        def width(f: int) -> int:
-            return max(8, int(f * self.channel_scale))
+        width = self.width
 
         def conv(h, name, features, kernel, padding):
             return nn.Conv(features, kernel, padding=padding, dtype=self.dtype,
                            param_dtype=self.param_dtype, name=name)(h)
 
+        def run_block(mdl, h, bi):
+            for c, (name, features) in enumerate(_VGG_BLOCKS[bi]):
+                pad = _PAD_CONV1 if (bi == 0 and c == 0) else 1
+                h = nn.relu(
+                    nn.Conv(mdl.width(features), (3, 3),
+                            padding=((pad, pad), (pad, pad)), dtype=mdl.dtype,
+                            param_dtype=mdl.param_dtype, name=name)(h))
+            return _max_pool_ceil(h)
+
+        if self.remat:
+            # per-block rematerialization: backward recomputes block
+            # activations instead of storing them (enables ~2x batch)
+            run_block = nn.remat(run_block, static_argnums=(2,))
+
         h = x.astype(self.dtype)
-        for b, block in enumerate(_VGG_BLOCKS):
-            for c, (name, features) in enumerate(block):
-                pad = _PAD_CONV1 if (b == 0 and c == 0) else 1
-                h = nn.relu(conv(h, name, width(features), (3, 3),
-                                 ((pad, pad), (pad, pad))))
-            h = _max_pool_ceil(h)
+        for bi in range(len(_VGG_BLOCKS)):
+            h = run_block(self, h, bi)
 
         h = nn.relu(conv(h, "fc6", width(4096), (7, 7), "VALID"))
         h = nn.Dropout(self.dropout_rate, broadcast_dims=(1, 2),

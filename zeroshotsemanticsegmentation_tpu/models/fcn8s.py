@@ -43,6 +43,7 @@ class FCN8s(nn.Module):
     param_dtype: Any = jnp.float32
     dropout_rate: float = 0.5
     channel_scale: float = 1.0
+    remat: bool = False  # rematerialize conv blocks (larger train batches)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False,
@@ -62,14 +63,22 @@ class FCN8s(nn.Module):
             return nn.Conv(features, kernel, padding=padding, dtype=self.dtype,
                            param_dtype=self.param_dtype, name=name, **kw)(h)
 
+        def run_block(mdl, h, bi):
+            for c, (name, features) in enumerate(_VGG_BLOCKS[bi]):
+                pad = _PAD_CONV1 if (bi == 0 and c == 0) else 1
+                h = nn.relu(
+                    nn.Conv(max(8, int(features * mdl.channel_scale)), (3, 3),
+                            padding=((pad, pad), (pad, pad)), dtype=mdl.dtype,
+                            param_dtype=mdl.param_dtype, name=name)(h))
+            return _max_pool_ceil(h)
+
+        if self.remat:
+            run_block = nn.remat(run_block, static_argnums=(2,))
+
         pools = []
         h = x.astype(self.dtype)
-        for b, block in enumerate(_VGG_BLOCKS):
-            for c, (name, features) in enumerate(block):
-                pad = _PAD_CONV1 if (b == 0 and c == 0) else 1
-                h = nn.relu(conv(h, name, width(features), (3, 3),
-                                 ((pad, pad), (pad, pad))))
-            h = _max_pool_ceil(h)
+        for bi in range(len(_VGG_BLOCKS)):
+            h = run_block(self, h, bi)
             pools.append(h)
         pool3, pool4 = pools[2], pools[3]
 

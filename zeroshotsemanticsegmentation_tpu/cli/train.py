@@ -215,6 +215,8 @@ def _parse_args(argv=None):
                    help="backbone width multiplier (<1 for smoke tests)")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize conv blocks (larger train batches)")
+    p.add_argument("--chunked_loss", action="store_true",
+                   help="per-sample loss memory chunking (larger batches)")
     p.add_argument("--vgg16", type=str, default=None,
                    help="path to a torch VGG16 state dict (.pth)")
     return p.parse_args(argv)
@@ -244,7 +246,7 @@ def main(argv=None) -> dict:
         v = getattr(args, src)
         if v is not None:
             overrides[dst] = v
-    for flag in ["one_hot_embed", "forced_unseen", "remat"]:
+    for flag in ["one_hot_embed", "forced_unseen", "remat", "chunked_loss"]:
         if getattr(args, flag):
             overrides[flag] = True
     for lst in ["train_unseen", "val_unseen"]:

@@ -50,6 +50,7 @@ class Config:
     num_viz: int = 25                      # reference trainer_fcn.py:204
     channel_scale: float = 1.0             # <1: thin model (tests/dryruns only)
     remat: bool = False                    # rematerialize blocks (big batches)
+    chunked_loss: bool = False             # per-sample loss (big batches)
     profile_steps: int = 0                 # >0: jax.profiler trace of N steps
 
     @property

@@ -59,7 +59,8 @@ def _fcn_infer(score, label, embeddings, *, forced_unseen, all_unseen_vec):
 
 def make_fcn_train_step(model, tx, *, loss_name: str, num_classes: int,
                         embeddings=None, target_embeddings=None,
-                        forced_unseen: bool = False, all_unseen_vec=None):
+                        forced_unseen: bool = False, all_unseen_vec=None,
+                        chunked_loss: bool = False):
     """Stage-1 train step: returns (new_state, aux dict of scalars + hist).
 
     `embeddings` drives NNE inference; `target_embeddings` (defaults to the
@@ -67,38 +68,79 @@ def make_fcn_train_step(model, tx, *, loss_name: str, num_classes: int,
     one_hot_embed, where the reference regresses onto one-hot vectors but
     still infers against the word2vec matrix (trainer_fcn.py:49 vs
     pascal_dataset.py:92-101).
+
+    `chunked_loss`: compute the loss from the 1/32-res raw head, upsampling
+    one sample at a time under lax.map — the dominant train-memory cost is
+    the batch of full-resolution fp32 score/target volumes (~0.7 GB each at
+    B=32 512²), not backbone activations. Numerically identical (the same
+    fp32 interpolation matrices run per sample; per-sample losses were
+    already independent under vmap).
     """
     if target_embeddings is None:
         target_embeddings = embeddings
     loss_one = _per_sample_fcn_loss(loss_name, target_embeddings)
 
+    from zeroshotsemanticsegmentation_tpu.ops.bilinear import (
+        upsample_bilinear_cropped)
+
     @jax.jit
     def train_step(state, batch, dropout_key):
         key = jax.random.fold_in(dropout_key, state.step)
+        out_h, out_w = batch["label"].shape[1], batch["label"].shape[2]
 
-        def loss_fn(params):
-            score = model.apply({"params": params}, batch["image"],
-                                train=True, mode="fcn",
-                                rngs={"dropout": key})
-            losses = jax.vmap(loss_one)(score, batch["label"])
-            loss = jnp.sum(losses) / jnp.maximum(batch["num_real"], 1)
-            return loss, score
+        def infer_hist(score, label):
+            pred = _fcn_infer(score, label, embeddings,
+                              forced_unseen=forced_unseen,
+                              all_unseen_vec=all_unseen_vec)
+            return confusion_matrix(label, pred, num_classes)
 
-        (loss, score), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params)
+        if chunked_loss:
+            def loss_fn(params):
+                f_small = model.apply({"params": params}, batch["image"],
+                                      train=True, mode="raw",
+                                      rngs={"dropout": key})[0]
+
+                def one(args):
+                    fs, label = args
+                    score = upsample_bilinear_cropped(
+                        fs[None].astype(jnp.float32), stride=32,
+                        kernel_size=64, crop_offset=19,
+                        out_h=out_h, out_w=out_w)
+                    hist = infer_hist(score, label[None])
+                    return (loss_one(score[0], label),
+                            jnp.sum(score), hist)
+
+                losses, ssums, hists = jax.lax.map(
+                    one, (f_small, batch["label"]))
+                loss = jnp.sum(losses) / jnp.maximum(batch["num_real"], 1)
+                return loss, (jnp.sum(ssums), jnp.sum(hists, axis=0))
+
+            (loss, (score_sum, hist)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+        else:
+            def loss_fn(params):
+                score = model.apply({"params": params}, batch["image"],
+                                    train=True, mode="fcn",
+                                    rngs={"dropout": key})
+                losses = jax.vmap(loss_one)(score, batch["label"])
+                loss = jnp.sum(losses) / jnp.maximum(batch["num_real"], 1)
+                return loss, score
+
+            (loss, score), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            score_sum = jnp.sum(score.astype(jnp.float32))
+            hist = infer_hist(score, batch["label"])
+
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = jax.tree_util.tree_map(lambda p, u: p + u,
                                         state.params, updates)
         # optax updates are already negated deltas; p + u applies them
         new_state = state.replace(params=params, opt_state=opt_state,
                                   step=state.step + 1)
-        pred = _fcn_infer(score, batch["label"], embeddings,
-                          forced_unseen=forced_unseen,
-                          all_unseen_vec=all_unseen_vec)
         aux = {
             "loss": loss,
-            "hist": confusion_matrix(batch["label"], pred, num_classes),
-            "score_sum": jnp.sum(score.astype(jnp.float32)),
+            "hist": hist,
+            "score_sum": score_sum,
             # reference per-iter stdout prints these (trainer_fcn.py:160-162)
             "score_fr_grad_sum": jnp.sum(grads["score_fr"]["kernel"]),
         }

@@ -104,7 +104,8 @@ class FCNTrainer:
         kw = dict(loss_name=cfg.fcn_loss, num_classes=n, embeddings=emb,
                   target_embeddings=temb, forced_unseen=cfg.forced_unseen,
                   all_unseen_vec=all_unseen_vec)
-        self._train_step = make_fcn_train_step(model, tx, **kw)
+        self._train_step = make_fcn_train_step(
+            model, tx, chunked_loss=getattr(cfg, "chunked_loss", False), **kw)
         self._eval_step = make_fcn_eval_step(model, val_unseen_vec=val_unseen_vec,
                                              **kw)
         if self.zeroshot and emb is not None:

@@ -123,3 +123,11 @@ def test_sharded_szn_eval_matches_single_device(rng):
                                   np.asarray(out["hists"]))
     np.testing.assert_array_equal(np.asarray(ref["pred"]),
                                   np.asarray(out["pred"]))
+
+
+def test_dryrun_module_runs_on_cpu_mesh():
+    """The driver's multichip hook: full sharded train+eval step, 8 devices."""
+    from zeroshotsemanticsegmentation_tpu.parallel.dryrun import run
+    result = run(8, channel_scale=1 / 16, bucket=64)
+    assert result["mesh"] == {"data": 4, "model": 2}
+    assert np.isfinite(result["train_loss"])

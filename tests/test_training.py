@@ -164,3 +164,13 @@ def test_chunked_loss_matches_vmap_exactly(rng):
                       jax.tree_util.tree_leaves(s1.params)):
         np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
                                    rtol=1e-5, atol=1e-7)
+
+
+def test_context_dataset_config(tmp_path):
+    """33-class context preset semantics run end-to-end (synthetic data)."""
+    cfg = tiny_cfg(dataset="context", train_unseen=(0, 12),
+                   val_unseen=(16, 18), fcn_epochs=1)
+    out = run_tiny(tmp_path, cfg, log_name="ctx")
+    va = pd.read_csv(osp.join(out["log_dir"], "val_log.csv"))
+    assert "val/unseen/mean_iu" in va.columns
+    assert np.isfinite(va["val/loss"]).all()

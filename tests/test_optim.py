@@ -66,6 +66,32 @@ def test_adam_bias_lr_doubled(rng):
                                -2e-3 * np.ones(4), rtol=1e-4)
 
 
+def test_stage1_never_touches_seenmask_head(rng):
+    """Reference stage-1 get_parameters skips seenmask_* (train.py:316-318):
+    even SGD's weight-decay term must leave the head bitwise unchanged when
+    its gradient is zero."""
+    for optim, lr in (("sgd", 0.1), ("adam", 1e-3)):
+        params = make_params(rng)
+        tx = make_fcn_optimizer(params, optim=optim, lr=lr)
+        state = tx.init(params)
+        grads = ones_like(params)
+        # fcn-mode training: seenmask head gets zero gradient
+        grads["seenmask_score"] = jax.tree_util.tree_map(
+            jnp.zeros_like, grads["seenmask_score"])
+        p = params
+        for _ in range(3):
+            u, state = tx.update(grads, state, p)
+            p = jax.tree_util.tree_map(lambda a, b: a + b, p, u)
+        np.testing.assert_array_equal(
+            np.asarray(p["seenmask_score"]["kernel"]),
+            np.asarray(params["seenmask_score"]["kernel"]))
+        np.testing.assert_array_equal(
+            np.asarray(p["seenmask_score"]["bias"]),
+            np.asarray(params["seenmask_score"]["bias"]))
+        # and the rest still moves
+        assert np.all(np.asarray(u["conv1_1"]["kernel"]) != 0)
+
+
 def test_seenmask_freezes_everything_else(rng):
     params = make_params(rng)
     tx = make_seenmask_optimizer(params, lr=1e-3)

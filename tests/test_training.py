@@ -99,6 +99,39 @@ def test_checkpoint_resume_roundtrip(tmp_path):
     assert tr["iteration"].iloc[0] == best["iteration"]
 
 
+def test_resume_restores_optimizer_state(tmp_path):
+    """A resumed run's updates equal the uninterrupted run's (reference
+    restores optim.load_state_dict on resume, train.py:134-135): dropping
+    Adam moments would visibly change the epoch-1 loss trajectory."""
+    cfg_full = tiny_cfg(fcn_epochs=2, fcn_lr=3e-3)
+    out_full = run_tiny(tmp_path, cfg_full, log_name="uninterrupted")
+    tr_full = pd.read_csv(osp.join(out_full["log_dir"], "train_log.csv"))
+
+    cfg_a = tiny_cfg(fcn_epochs=1, fcn_lr=3e-3)
+    out_a = run_tiny(tmp_path, cfg_a, log_name="part_a")
+    out_b = run_tiny(tmp_path, tiny_cfg(fcn_epochs=2, fcn_lr=3e-3),
+                     log_name="part_b",
+                     resume=osp.join(out_a["log_dir"], "checkpoint"))
+    tr_b = pd.read_csv(osp.join(out_b["log_dir"], "train_log.csv"))
+
+    epoch1_full = tr_full[tr_full["epoch"] == 1]["train/loss"].to_numpy()
+    epoch1_resumed = tr_b["train/loss"].to_numpy()
+    np.testing.assert_allclose(epoch1_resumed, epoch1_full,
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_resume_straight_into_seenmask_stage(tmp_path):
+    """fcn_epochs=0 + -r skips to stage 2, starting from the loaded
+    checkpoint (reference train.py:177-179): the fresh run dir has no best/
+    so the loader must fall back to the resume checkpoint."""
+    out = run_tiny(tmp_path, tiny_cfg(fcn_epochs=1), log_name="stage1")
+    cfg2 = tiny_cfg(fcn_epochs=0, seenmask_epochs=1)
+    out2 = run_tiny(tmp_path, cfg2, log_name="stage2",
+                    resume=osp.join(out["log_dir"], "best"))
+    assert osp.exists(osp.join(out2["log_dir"], "seenmask_train_log.csv"))
+    assert ckpt.checkpoint_exists(osp.join(out2["log_dir"], "best"))
+
+
 def test_forced_unseen_oracle_mode(tmp_path):
     cfg = tiny_cfg(fcn_epochs=1, forced_unseen=True)
     out = run_tiny(tmp_path, cfg, log_name="forced")

@@ -115,10 +115,11 @@ def run_experiment(cfg, *, preset: int = 0, name: str | None = None,
     best_mean_iu = 0.0
     load_path = resume or cfg.load_fcn_path
     checkpoint = None
+    ckpt_path = None
     if load_path:
-        path = load_path if ckpt.checkpoint_exists(load_path) else osp.join(
-            data_dir, "logs", load_path, "best")
-        checkpoint = ckpt.restore_checkpoint(path)
+        ckpt_path = load_path if ckpt.checkpoint_exists(load_path) else \
+            osp.join(data_dir, "logs", load_path, "best")
+        checkpoint = ckpt.restore_checkpoint(ckpt_path)
         params = _merge_params(params, checkpoint["params"])
         # checkpoint['epoch'] is the last *completed* epoch; training resumes
         # after it (the reference re-runs every epoch on resume — train.py:295
@@ -128,23 +129,60 @@ def run_experiment(cfg, *, preset: int = 0, name: str | None = None,
         best_mean_iu = float(checkpoint["best_mean_iu"])
     elif vgg16_path:
         params = load_vgg16_into_params(params, vgg16_path)
+    elif not synthetic and cfg.mode == "train":
+        # reference always starts fresh runs from caffe-VGG16 (train.py:127-129)
+        default_vgg = osp.join(data_dir, "models", "vgg16_from_caffe.pth")
+        if osp.exists(default_vgg):
+            logger.stdout(f"initializing backbone from {default_vgg}")
+            params = load_vgg16_into_params(params, default_vgg)
+        else:
+            logger.stdout(
+                "WARNING: no --vgg16 given and no cached "
+                f"{default_vgg}; the backbone is RANDOMLY INITIALIZED — the "
+                "reference always starts from pretrained VGG16 "
+                "(train.py:127-129) and results will not be comparable")
 
     # 4. stage-1 trainer
     tx = make_fcn_optimizer(params, optim=cfg.fcn_optim, lr=cfg.fcn_lr)
+    opt_state = None
+    if checkpoint is not None:
+        # reference restores optimizer state whenever a checkpoint is loaded
+        # (train.py:134-135); orbax needs the live optax structure as the
+        # restore target (raw restore loses the namedtuple containers)
+        try:
+            target = {"params": params,
+                      "opt_state": jax.eval_shape(tx.init, params)}
+            opt_state = ckpt.restore_checkpoint(
+                ckpt_path, target=target)["opt_state"]
+        except Exception as e:  # different optimizer/arch: fresh init
+            logger.stdout("WARNING: checkpoint optimizer state does not "
+                          f"match the current optimizer ({e!r}); "
+                          "reinitializing optimizer state")
     fcn_trainer = FCNTrainer(
         cfg=cfg, model=model, tx=tx, params=params,
         train_loader=train_seen_loader, val_loader=val_loader, logger=logger,
         embeddings=embeddings, target_embeddings=target_embeddings,
         start_epoch=start_epoch, start_iteration=start_iteration,
-        best_mean_iu=best_mean_iu, mesh=mesh)
+        best_mean_iu=best_mean_iu, opt_state=opt_state, mesh=mesh)
 
     summary = {"log_dir": log_dir}
     if cfg.mode == "train":
         if cfg.fcn_epochs > 0:
             fcn_trainer.train()
         if cfg.seenmask_epochs > 0:
-            # stage 2 starts from the best stage-1 weights (train.py:177-179)
-            best = ckpt.restore_checkpoint(osp.join(log_dir, "best"))
+            # stage 2 starts from the best stage-1 weights (train.py:177-179);
+            # when this run never wrote a best/ (fcn_epochs=0 resume-into-
+            # seenmask, or a resumed run that never improved) fall back to the
+            # loaded checkpoint, mirroring the reference's `if not checkpoint`
+            best_path = osp.join(log_dir, "best")
+            if ckpt.checkpoint_exists(best_path):
+                best = ckpt.restore_checkpoint(best_path)
+            elif checkpoint is not None:
+                best = checkpoint
+            else:
+                raise FileNotFoundError(
+                    f"stage 2 needs a stage-1 checkpoint: no {best_path} and "
+                    "no -r/load_fcn_path checkpoint was loaded")
             params2 = _merge_params(fcn_trainer.state.params, best["params"])
             tx2 = make_seenmask_optimizer(params2, lr=cfg.seenmask_lr)
             seenmask_trainer = SeenmaskTrainer(

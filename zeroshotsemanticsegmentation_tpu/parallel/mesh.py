@@ -93,6 +93,30 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
     return out
 
 
+def shard_opt_state(opt_state, mesh: Mesh):
+    """Shard a restored optimizer state like its parameters.
+
+    Optax states (Adam mu/nu, SGD momentum) mirror the param tree inside
+    their namedtuples; any leaf whose tree path ends with a (module, leaf)
+    pair covered by the TP rules gets that param's spec, everything else
+    (counts, non-TP params) is replicated. Freshly-initialized states don't
+    need this (jit(tx.init) on sharded params propagates shardings); restored
+    host-side states do — reference resume restores optimizer state
+    (train.py:134-135) and the sharded path must match.
+    """
+    def spec_for(path, x):
+        keys = [getattr(p, "key", getattr(p, "name", None)) for p in path]
+        for mod, leaf in zip(keys, keys[1:]):
+            spec = _TP_RULES.get(mod, {}).get(leaf)
+            if spec is not None and np.ndim(x) == len(spec):
+                return spec
+        return P()
+
+    return jax.tree_util.tree_map_with_path(
+        lambda path, x: jax.device_put(x, NamedSharding(mesh, spec_for(path, x))),
+        opt_state)
+
+
 def replicate(tree, mesh: Mesh):
     """Fully replicate a pytree over the mesh (e.g. embedding matrices)."""
     return jax.tree_util.tree_map(

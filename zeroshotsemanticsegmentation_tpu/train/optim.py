@@ -36,6 +36,11 @@ def _label_tree(params, stage: str):
         leaf = path[-1].key
         if stage == "seenmask":
             put(path, "seenmask" if module == "seenmask_score" else "frozen")
+        elif module == "seenmask_score":
+            # reference get_parameters skips the seenmask head in stage 1
+            # (train.py:316-318): without this, SGD's weight-decay term would
+            # move seenmask_score despite its zero gradient
+            put(path, "frozen")
         else:
             put(path, "bias" if leaf == "bias" else "weight")
     return labels
@@ -50,11 +55,13 @@ def make_fcn_optimizer(params, *, optim: str, lr: float,
             "weight": optax.chain(optax.add_decayed_weights(weight_decay),
                                   optax.sgd(lr, momentum=momentum)),
             "bias": optax.sgd(lr * 2.0, momentum=momentum),
+            "frozen": optax.set_to_zero(),
         }
     elif optim == "adam":
         transforms = {
             "weight": optax.adam(lr),
             "bias": optax.adam(lr * 2.0),
+            "frozen": optax.set_to_zero(),
         }
     else:
         raise ValueError(f"unknown optimizer {optim!r}")

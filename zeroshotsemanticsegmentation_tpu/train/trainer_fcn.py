@@ -98,6 +98,10 @@ class FCNTrainer:
                 temb = replicate(temb, mesh)
         if opt_state is None:
             opt_state = jax.jit(tx.init)(params)
+        elif mesh is not None:
+            from zeroshotsemanticsegmentation_tpu.parallel import (
+                shard_opt_state)
+            opt_state = shard_opt_state(opt_state, mesh)
         self.state = TrainState(params=params, opt_state=opt_state,
                                 step=jnp.asarray(start_iteration, jnp.int32))
 

@@ -1,18 +1,26 @@
 #!/usr/bin/env python
-"""Headline benchmark: end-to-end SZN zero-shot inference throughput.
+"""Headline benchmarks: SZN inference throughput (default) and training
+throughput (--train).
 
-Measures megapixels/second/chip for the flagship serving program — FCN-32s
-forward (bfloat16) + fused projection/upsample/argmax Pallas kernel
-(ops.szn_fused) — on 512x512 inputs, matching BASELINE.json's north-star
-metric (target: >= 50 MP/s/chip on TPU v5e; vs_baseline = value / 50).
+Default prints exactly ONE JSON line — megapixels/second/chip for the
+flagship serving program: FCN-32s forward (bfloat16) + fused
+projection/upsample/argmax Pallas kernel (ops.szn_fused) on 512x512 inputs,
+matching BASELINE.json's north-star metric (target: >= 50 MP/s/chip on TPU
+v5e; vs_baseline = value / 50).
 
-Methodology: N dependent iterations chained *inside one jit* (each step's
-labels perturb the next input), timed around a single dispatch with a scalar
-host fetch. This is immune to the two artifacts observed on this platform:
-per-call RPC latency (~30 ms synchronized) and result-dedup of repeated
-identical calls, which can fake arbitrarily high throughput.
+`--train` instead prints one JSON line with steady-state training throughput
+(img/s/chip) of the production jitted train step (forward+loss+backward+Adam
++NNE inference+confusion matrix — the reference hot loop,
+trainer_fcn.py:149-180) plus derived MFU. `--all` runs both, prints the
+inference line last (the driver contract) and writes the train line to
+BENCH_TRAIN.json.
 
-Prints exactly one JSON line.
+Methodology (both): N dependent iterations chained *inside one jit*, timed
+around a single dispatch with a scalar host fetch. Inference chains by
+feeding label statistics into the next input; training is naturally dependent
+(the optimizer state carries). This is immune to the two artifacts observed
+on this platform: per-call RPC latency (~30 ms synchronized) and result-dedup
+of repeated identical calls, which can fake arbitrarily high throughput.
 """
 
 import json
@@ -29,17 +37,28 @@ H = W = 512
 BATCH = 32  # best measured batch on v5e (84 vs 78 MP/s at 16)
 CHAIN = 8   # model evaluations per dispatch
 
+TRAIN_BATCH = 16
+TRAIN_CHAIN = 4
+# reference-faithful FLOPs: 360 GFLOP fwd/img at 512^2 (pad-100 geometry);
+# backward ~2x forward => ~1080 GFLOP/img trained
+TRAIN_GFLOP_PER_IMG = 1080.0
+V5E_BF16_PEAK_TFLOPS = 197.0
+TRAIN_BASELINE_IMG_S = 50.0  # same spirit as the 50 MP/s serving target
 
-def main() -> None:
+
+def _setup_cache():
     import jax
-    import jax.numpy as jnp
-    import numpy as np
-
     try:
         jax.config.update("jax_compilation_cache_dir",
                           osp.expanduser("~/.cache/zss_jax_cache"))
     except Exception:
         pass
+
+
+def bench_inference() -> dict:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
 
     from zeroshotsemanticsegmentation_tpu.models import FCN32s
     from zeroshotsemanticsegmentation_tpu.ops.szn_fused import (
@@ -79,12 +98,94 @@ def main() -> None:
     assert checksum != 0
 
     mp_per_s = BATCH * H * W / dt / 1e6
-    print(json.dumps({
+    return {
         "metric": "szn_inference_throughput",
         "value": round(mp_per_s, 2),
         "unit": "megapixels/sec/chip",
         "vs_baseline": round(mp_per_s / BASELINE_MP_S, 3),
-    }))
+    }
+
+
+def bench_train() -> dict:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from zeroshotsemanticsegmentation_tpu.models import FCN32s
+    from zeroshotsemanticsegmentation_tpu.data.assets import (
+        load_class_embeddings)
+    from zeroshotsemanticsegmentation_tpu.train import make_fcn_optimizer
+    from zeroshotsemanticsegmentation_tpu.train.state import TrainState
+    from zeroshotsemanticsegmentation_tpu.train.steps import (
+        make_fcn_train_step)
+
+    model = FCN32s(num_classes=20, dtype=jnp.bfloat16)
+    rng = np.random.RandomState(0)
+    batch = {
+        "image": jnp.asarray(
+            rng.randn(TRAIN_BATCH, H, W, 3).astype(np.float32) * 40),
+        "label": jnp.asarray(
+            rng.randint(-1, 21, (TRAIN_BATCH, H, W)).astype(np.int32)),
+        "sizes": jnp.asarray(np.full((TRAIN_BATCH, 2), H, np.int32)),
+        "num_real": jnp.asarray(TRAIN_BATCH, jnp.int32),
+    }
+    params = jax.jit(lambda: model.init(jax.random.PRNGKey(0),
+                                        batch["image"][:1],
+                                        mode="both"))()["params"]
+    embed = jnp.asarray(load_class_embeddings("pascal", 20))
+    tx = make_fcn_optimizer(params, optim="adam", lr=1e-5)
+    step = make_fcn_train_step(model, tx, loss_name="cos", num_classes=21,
+                               embeddings=embed)
+    state0 = TrainState(params=params, opt_state=jax.jit(tx.init)(params),
+                        step=jnp.zeros((), jnp.int32))
+    key = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def chained(state, batch):
+        def body(_, carry):
+            st, acc = carry
+            st, aux = step(st, batch, key)
+            # keep every per-step output alive (loss, NNE hist, grad sums):
+            # dropping them would let XLA DCE the metrics half of the step
+            acc = (acc + aux["loss"] + jnp.sum(aux["hist"]).astype(jnp.float32)
+                   + aux["score_fr_grad_sum"] + aux["score_sum"] * 1e-9)
+            return st, acc
+        st, acc = jax.lax.fori_loop(
+            0, TRAIN_CHAIN, body, (state, jnp.zeros((), jnp.float32)))
+        return st, acc
+
+    st, acc = chained(state0, batch)
+    acc.block_until_ready()  # compile + warm
+    t0 = time.perf_counter()
+    _, acc = chained(st, batch)
+    checksum = float(acc)  # scalar host fetch = full completion
+    dt = (time.perf_counter() - t0) / TRAIN_CHAIN
+    assert np.isfinite(checksum) and checksum != 0
+
+    img_per_s = TRAIN_BATCH / dt
+    mfu = img_per_s * TRAIN_GFLOP_PER_IMG / (V5E_BF16_PEAK_TFLOPS * 1e3)
+    return {
+        "metric": "fcn_train_throughput",
+        "value": round(img_per_s, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(img_per_s / TRAIN_BASELINE_IMG_S, 3),
+        "batch": TRAIN_BATCH,
+        "step_ms": round(dt * 1e3, 2),
+        "mfu": round(mfu, 4),
+    }
+
+
+def main(argv=None) -> None:
+    argv = sys.argv[1:] if argv is None else argv
+    _setup_cache()
+    if "--train" in argv:
+        print(json.dumps(bench_train()))
+        return
+    if "--all" in argv:
+        train = bench_train()
+        with open(osp.join(_REPO_ROOT, "BENCH_TRAIN.json"), "w") as f:
+            json.dump(train, f)
+    print(json.dumps(bench_inference()))
 
 
 if __name__ == "__main__":

@@ -199,6 +199,51 @@ def test_chunked_loss_matches_vmap_exactly(rng):
                                    rtol=1e-5, atol=1e-7)
 
 
+def test_grad_accum_matches_full_batch(rng):
+    """grad_accum=2: identical loss, params, hist to the single-pass step
+    (dropout off so the microbatch keys don't matter)."""
+    import jax
+    import jax.numpy as jnp
+    from zeroshotsemanticsegmentation_tpu.models import FCN32s
+    from zeroshotsemanticsegmentation_tpu.train import make_fcn_optimizer
+    from zeroshotsemanticsegmentation_tpu.train.state import TrainState
+    from zeroshotsemanticsegmentation_tpu.train.steps import (
+        make_fcn_train_step)
+
+    model = FCN32s(num_classes=8, channel_scale=1 / 16, dropout_rate=0.0)
+    batch = {
+        "image": jnp.asarray(rng.randn(4, 64, 64, 3).astype(np.float32)),
+        "label": jnp.asarray(rng.randint(-1, 9, (4, 64, 64)).astype(np.int32)),
+        "sizes": jnp.asarray(np.full((4, 2), 64, np.int32)),
+        "num_real": jnp.asarray(4, jnp.int32),
+    }
+    embed = rng.randn(9, 8).astype(np.float32)
+    embed /= np.linalg.norm(embed, axis=1, keepdims=True)
+    params = model.init(jax.random.PRNGKey(0), batch["image"][:1],
+                        mode="both")["params"]
+    results = []
+    for accum in (1, 2):
+        tx = make_fcn_optimizer(params, optim="adam", lr=1e-3)
+        state = TrainState(params=params, opt_state=tx.init(params),
+                           step=jnp.zeros((), jnp.int32))
+        step = make_fcn_train_step(model, tx, loss_name="cos", num_classes=9,
+                                   embeddings=jnp.asarray(embed),
+                                   grad_accum=accum)
+        st, aux = step(state, batch, jax.random.PRNGKey(7))
+        results.append((st, aux))
+    (s0, a0), (s1, a1) = results
+    np.testing.assert_allclose(float(a0["loss"]), float(a1["loss"]),
+                               rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(a0["hist"]),
+                                  np.asarray(a1["hist"]))
+    # atol 1e-5 << the 1e-3 lr-scale updates: Adam's g/sqrt(nu) amplifies
+    # last-ulp summation-order differences for a few near-zero-moment elements
+    for la, lb in zip(jax.tree_util.tree_leaves(s0.params),
+                      jax.tree_util.tree_leaves(s1.params)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   rtol=1e-5, atol=1e-5)
+
+
 def test_context_dataset_config(tmp_path):
     """33-class context preset semantics run end-to-end (synthetic data)."""
     cfg = tiny_cfg(dataset="context", train_unseen=(0, 12),

@@ -255,6 +255,8 @@ def _parse_args(argv=None):
                    help="rematerialize conv blocks (larger train batches)")
     p.add_argument("--chunked_loss", action="store_true",
                    help="per-sample loss memory chunking (larger batches)")
+    p.add_argument("--grad_accum", type=int,
+                   help="microbatches per train step (larger batches)")
     p.add_argument("--vgg16", type=str, default=None,
                    help="path to a torch VGG16 state dict (.pth)")
     return p.parse_args(argv)
@@ -280,7 +282,8 @@ def main(argv=None) -> dict:
                      ("dtype", "compute_dtype"),
                      ("data_parallel", "data_parallel"),
                      ("model_parallel", "model_parallel"),
-                     ("channel_scale", "channel_scale")]:
+                     ("channel_scale", "channel_scale"),
+                     ("grad_accum", "grad_accum")]:
         v = getattr(args, src)
         if v is not None:
             overrides[dst] = v

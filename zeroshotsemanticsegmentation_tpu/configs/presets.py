@@ -51,6 +51,7 @@ class Config:
     channel_scale: float = 1.0             # <1: thin model (tests/dryruns only)
     remat: bool = False                    # rematerialize blocks (big batches)
     chunked_loss: bool = False             # per-sample loss (big batches)
+    grad_accum: int = 1                    # microbatches per step (big batches)
     profile_steps: int = 0                 # >0: jax.profiler trace of N steps
 
     @property

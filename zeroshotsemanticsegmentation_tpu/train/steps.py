@@ -60,7 +60,7 @@ def _fcn_infer(score, label, embeddings, *, forced_unseen, all_unseen_vec):
 def make_fcn_train_step(model, tx, *, loss_name: str, num_classes: int,
                         embeddings=None, target_embeddings=None,
                         forced_unseen: bool = False, all_unseen_vec=None,
-                        chunked_loss: bool = False):
+                        chunked_loss: bool = False, grad_accum: int = 1):
     """Stage-1 train step: returns (new_state, aux dict of scalars + hist).
 
     `embeddings` drives NNE inference; `target_embeddings` (defaults to the
@@ -75,6 +75,15 @@ def make_fcn_train_step(model, tx, *, loss_name: str, num_classes: int,
     B=32 512²), not backbone activations. Numerically identical (the same
     fp32 interpolation matrices run per sample; per-sample losses were
     already independent under vmap).
+
+    `grad_accum` (k>1): microbatch gradient accumulation inside the single
+    jitted step — the batch splits into k microbatches whose backward passes
+    run sequentially under lax.scan, bounding the pad-100 block-1 backward
+    transients (the v5e OOM binder at B>16, ~8 GB of 710² activations +
+    cotangents) at 1/k cost while the optimizer still sees the full-batch
+    gradient. Exact: per-sample losses are sums normalized by the full
+    batch's num_real, so Σ microbatch grads == whole-batch grads (dropout
+    draws a distinct key per microbatch; paths coincide when dropout is off).
     """
     if target_embeddings is None:
         target_embeddings = embeddings
@@ -87,6 +96,7 @@ def make_fcn_train_step(model, tx, *, loss_name: str, num_classes: int,
     def train_step(state, batch, dropout_key):
         key = jax.random.fold_in(dropout_key, state.step)
         out_h, out_w = batch["label"].shape[1], batch["label"].shape[2]
+        denom = jnp.maximum(batch["num_real"], 1)
 
         def infer_hist(score, label):
             pred = _fcn_infer(score, label, embeddings,
@@ -94,42 +104,71 @@ def make_fcn_train_step(model, tx, *, loss_name: str, num_classes: int,
                               all_unseen_vec=all_unseen_vec)
             return confusion_matrix(label, pred, num_classes)
 
-        if chunked_loss:
-            def loss_fn(params):
-                f_small = model.apply({"params": params}, batch["image"],
-                                      train=True, mode="raw",
-                                      rngs={"dropout": key})[0]
+        def value_grad_one(image, label, key):
+            """(loss, score_sum, hist, grads) for one (micro)batch; the loss
+            is that microbatch's sum normalized by the FULL batch denom."""
+            if chunked_loss:
+                def loss_fn(params):
+                    f_small = model.apply({"params": params}, image,
+                                          train=True, mode="raw",
+                                          rngs={"dropout": key})[0]
 
-                def one(args):
-                    fs, label = args
-                    score = upsample_bilinear_cropped(
-                        fs[None].astype(jnp.float32), stride=32,
-                        kernel_size=64, crop_offset=19,
-                        out_h=out_h, out_w=out_w)
-                    hist = infer_hist(score, label[None])
-                    return (loss_one(score[0], label),
-                            jnp.sum(score), hist)
+                    def one(args):
+                        fs, lbl = args
+                        score = upsample_bilinear_cropped(
+                            fs[None].astype(jnp.float32), stride=32,
+                            kernel_size=64, crop_offset=19,
+                            out_h=out_h, out_w=out_w)
+                        hist = infer_hist(score, lbl[None])
+                        return (loss_one(score[0], lbl),
+                                jnp.sum(score), hist)
 
-                losses, ssums, hists = jax.lax.map(
-                    one, (f_small, batch["label"]))
-                loss = jnp.sum(losses) / jnp.maximum(batch["num_real"], 1)
-                return loss, (jnp.sum(ssums), jnp.sum(hists, axis=0))
+                    losses, ssums, hists = jax.lax.map(one, (f_small, label))
+                    loss = jnp.sum(losses) / denom
+                    return loss, (jnp.sum(ssums), jnp.sum(hists, axis=0))
 
-            (loss, (score_sum, hist)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(state.params)
+                (loss, (score_sum, hist)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(state.params)
+            else:
+                def loss_fn(params):
+                    score = model.apply({"params": params}, image,
+                                        train=True, mode="fcn",
+                                        rngs={"dropout": key})
+                    losses = jax.vmap(loss_one)(score, label)
+                    return jnp.sum(losses) / denom, score
+
+                (loss, score), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(state.params)
+                score_sum = jnp.sum(score.astype(jnp.float32))
+                hist = infer_hist(score, label)
+            return loss, score_sum, hist, grads
+
+        if grad_accum == 1:
+            loss, score_sum, hist, grads = value_grad_one(
+                batch["image"], batch["label"], key)
         else:
-            def loss_fn(params):
-                score = model.apply({"params": params}, batch["image"],
-                                    train=True, mode="fcn",
-                                    rngs={"dropout": key})
-                losses = jax.vmap(loss_one)(score, batch["label"])
-                loss = jnp.sum(losses) / jnp.maximum(batch["num_real"], 1)
-                return loss, score
+            b = batch["image"].shape[0]
+            if b % grad_accum:
+                raise ValueError(
+                    f"batch {b} not divisible by grad_accum {grad_accum}")
+            m = b // grad_accum
+            imgs = batch["image"].reshape(grad_accum, m,
+                                          *batch["image"].shape[1:])
+            lbls = batch["label"].reshape(grad_accum, m, out_h, out_w)
 
-            (loss, score), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(state.params)
-            score_sum = jnp.sum(score.astype(jnp.float32))
-            hist = infer_hist(score, batch["label"])
+            def body(carry, xs):
+                loss_a, ssum_a, hist_a, grads_a = carry
+                img, lbl, i = xs
+                loss, ssum, hist, grads = value_grad_one(
+                    img, lbl, jax.random.fold_in(key, i))
+                return (loss_a + loss, ssum_a + ssum, hist_a + hist,
+                        jax.tree_util.tree_map(jnp.add, grads_a, grads)), None
+
+            init = (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32),
+                    jnp.zeros((num_classes, num_classes), jnp.int32),
+                    jax.tree_util.tree_map(jnp.zeros_like, state.params))
+            (loss, score_sum, hist, grads), _ = jax.lax.scan(
+                body, init, (imgs, lbls, jnp.arange(grad_accum)))
 
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = jax.tree_util.tree_map(lambda p, u: p + u,

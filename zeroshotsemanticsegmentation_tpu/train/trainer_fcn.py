@@ -109,7 +109,8 @@ class FCNTrainer:
                   target_embeddings=temb, forced_unseen=cfg.forced_unseen,
                   all_unseen_vec=all_unseen_vec)
         self._train_step = make_fcn_train_step(
-            model, tx, chunked_loss=getattr(cfg, "chunked_loss", False), **kw)
+            model, tx, chunked_loss=getattr(cfg, "chunked_loss", False),
+            grad_accum=getattr(cfg, "grad_accum", 1), **kw)
         self._eval_step = make_fcn_eval_step(model, val_unseen_vec=val_unseen_vec,
                                              **kw)
         if self.zeroshot and emb is not None:

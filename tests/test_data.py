@@ -226,3 +226,40 @@ def test_batch_loader_drop_remainder():
                          drop_remainder=True)
     assert len(loader) == 2
     assert len(list(loader)) == 2
+
+
+def test_compact_feed_matches_host_transform(rng):
+    """BatchLoader(compact=True): uint8/int8 batches whose device-side
+    prepared images equal the host float path inside the image extent and
+    are exactly zero in the pad region."""
+    import jax.numpy as jnp
+    from zeroshotsemanticsegmentation_tpu.data import (
+        BatchLoader, SyntheticDataset)
+    from zeroshotsemanticsegmentation_tpu.data.transforms import (
+        transform_image)
+    from zeroshotsemanticsegmentation_tpu.train.steps import _prepare_batch
+
+    ds = SyntheticDataset(num_images=3, num_classes=21,
+                          size_range=(40, 64), seed=3)
+    loader = BatchLoader(ds, 2, bucket_hw=(64, 64), compact=True)
+    batch = next(iter(loader))
+    assert batch["image"].dtype == np.uint8
+    assert batch["label"].dtype == np.int8
+
+    jbatch = {k: jnp.asarray(v) for k, v in batch.items() if k != "ids"}
+    images, labels = _prepare_batch(jbatch)
+    assert images.dtype == jnp.float32 and labels.dtype == jnp.int32
+    img_np = np.asarray(images)
+    for i in range(batch["num_real"]):
+        h, w = batch["sizes"][i]
+        want = transform_image(batch["image"][i, :h, :w])
+        np.testing.assert_allclose(img_np[i, :h, :w], want, atol=1e-4)
+        # pad region exactly zero (conv-zero-padding equivalence)
+        if h < 64:
+            assert np.all(img_np[i, h:, :] == 0.0)
+        if w < 64:
+            assert np.all(img_np[i, :, w:] == 0.0)
+    # dummy sample (num_real < B) fully zero, labels all -1
+    if batch["num_real"] < 2:
+        assert np.all(img_np[-1] == 0.0)
+        assert np.all(batch["label"][-1] == -1)

@@ -1,0 +1,58 @@
+"""Serving predictor: fused-path labels, compact uint8 input, mesh variant."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from zeroshotsemanticsegmentation_tpu.models import FCN32s
+from zeroshotsemanticsegmentation_tpu.ops import infer_labels_szn
+from zeroshotsemanticsegmentation_tpu.ops.metrics import unseen_mask_vector
+from zeroshotsemanticsegmentation_tpu.data.transforms import transform_image
+from zeroshotsemanticsegmentation_tpu.serving import make_szn_predictor
+
+
+def build(rng):
+    model = FCN32s(num_classes=8, channel_scale=1 / 16)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x, mode="both")["params"]
+    embed = rng.randn(9, 8).astype(np.float32)
+    embed /= np.linalg.norm(embed, axis=1, keepdims=True)
+    return model, params, embed
+
+
+def test_predictor_matches_reference_pipeline(rng):
+    model, params, embed = build(rng)
+    unseen = [2, 5]
+    predict = make_szn_predictor(model, params, embed, unseen)
+    imgs = rng.randn(2, 64, 64, 3).astype(np.float32) * 40
+    got = np.asarray(predict(jnp.asarray(imgs)))
+    f, s = model.apply({"params": params}, jnp.asarray(imgs), mode="both")
+    want = np.asarray(infer_labels_szn(
+        f, s, jnp.asarray(embed), jnp.asarray(unseen_mask_vector(9, unseen))))
+    assert got.shape == (2, 64, 64)
+    assert (got != want).mean() < 1e-4  # fp argmax tie flips only
+
+
+def test_predictor_accepts_uint8(rng):
+    """Compact-feed serving: uint8 RGB in == host-transformed float32 in."""
+    model, params, embed = build(rng)
+    predict = make_szn_predictor(model, params, embed, [2, 5])
+    raw = rng.randint(0, 255, (2, 64, 64, 3)).astype(np.uint8)
+    floats = np.stack([transform_image(r) for r in raw])
+    got_u8 = np.asarray(predict(jnp.asarray(raw)))
+    got_f = np.asarray(predict(jnp.asarray(floats)))
+    assert (got_u8 != got_f).mean() < 1e-3
+
+
+def test_predictor_on_mesh(rng):
+    """The fused pallas kernel composes with a DPxTP mesh (GSPMD)."""
+    from zeroshotsemanticsegmentation_tpu.parallel import make_mesh
+    model, params, embed = build(rng)
+    predict = make_szn_predictor(model, params, embed, [2, 5])
+    imgs = rng.randn(4, 64, 64, 3).astype(np.float32) * 40
+    want = np.asarray(predict(jnp.asarray(imgs)))
+    mesh = make_mesh(4, 2)
+    predict_sharded = make_szn_predictor(model, params, embed, [2, 5],
+                                         mesh=mesh)
+    got = np.asarray(predict_sharded(imgs))
+    assert (got != want).mean() < 1e-4

@@ -52,3 +52,53 @@ def test_fused_from_model_raw_heads(rng):
     got = np.asarray(infer_labels_szn_fused(f_raw, s_raw, jnp.asarray(embed),
                                             uv, (64, 64), row_tile=16))
     assert (got != want).mean() < 1e-4
+
+
+def test_nne_fused_matches_infer_labels(rng):
+    """Plain-NNE fused path (always-seen gate trick) == ops.nne.infer_labels
+    on the upsampled score."""
+    from zeroshotsemanticsegmentation_tpu.ops import infer_labels
+    from zeroshotsemanticsegmentation_tpu.ops.szn_fused import (
+        infer_labels_nne_fused)
+    score = jnp.asarray(rng.randn(2, 5, 5, 16).astype(np.float32))
+    embed = rng.randn(11, 16).astype(np.float32)
+    embed /= np.linalg.norm(embed, axis=1, keepdims=True)
+    up = upsample_bilinear_cropped(score, stride=32, kernel_size=64,
+                                   crop_offset=19, out_h=96, out_w=96)
+    want = np.asarray(infer_labels(up, jnp.asarray(embed)))
+    got = np.asarray(infer_labels_nne_fused(score, jnp.asarray(embed),
+                                            (96, 96), row_tile=16))
+    assert (got != want).mean() < 1e-4
+    assert got.max() < 11
+
+
+def test_fused_eval_steps_match_unfused(rng):
+    """Trainer validation with fused=True: identical losses, predictions up
+    to fp argmax ties, for both the fcn and the full-SZN eval step."""
+    from zeroshotsemanticsegmentation_tpu.train.steps import (
+        make_fcn_eval_step, make_szn_eval_step)
+    model = FCN32s(num_classes=8, channel_scale=1 / 16)
+    batch = {
+        "image": jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32)),
+        "label": jnp.asarray(rng.randint(-1, 9, (2, 64, 64)).astype(np.int32)),
+        "sizes": jnp.asarray(np.full((2, 2), 64, np.int32)),
+        "num_real": jnp.asarray(2, jnp.int32),
+    }
+    params = model.init(jax.random.PRNGKey(0), batch["image"][:1],
+                        mode="both")["params"]
+    embed = rng.randn(9, 8).astype(np.float32)
+    embed /= np.linalg.norm(embed, axis=1, keepdims=True)
+    uv = jnp.asarray(unseen_mask_vector(9, [2, 5]))
+    kw = dict(loss_name="cos", num_classes=9, embeddings=jnp.asarray(embed),
+              all_unseen_vec=uv, val_unseen_vec=uv)
+    for maker in (make_fcn_eval_step, make_szn_eval_step):
+        base = maker(model, fused=False, **kw)(params, batch)
+        fused = maker(model, fused=True, **kw)(params, batch)
+        np.testing.assert_allclose(float(fused["loss_sum"]),
+                                   float(base["loss_sum"]), rtol=1e-6)
+        np.testing.assert_allclose(float(fused["score_sum"]),
+                                   float(base["score_sum"]), rtol=1e-5)
+        flips = (np.asarray(fused["pred"]) != np.asarray(base["pred"])).mean()
+        assert flips < 1e-4, f"{maker.__name__}: {flips:.2e} pred flips"
+        assert np.abs(np.asarray(fused["hists"]).astype(np.int64)
+                      - np.asarray(base["hists"])).sum() <= 4

@@ -70,7 +70,8 @@ def run_experiment(cfg, *, preset: int = 0, name: str | None = None,
     train_ds, train_seen_ds, val_ds = _build_datasets(
         cfg, data_dir=data_dir, synthetic=synthetic)
     mk_loader = lambda ds, bs, sh: BatchLoader(  # noqa: E731
-        ds, bs, bucket_hw=tuple(cfg.bucket), shuffle=sh, seed=cfg.seed)
+        ds, bs, bucket_hw=tuple(cfg.bucket), shuffle=sh, seed=cfg.seed,
+        compact=getattr(cfg, "compact_feed", False))
     train_loader = mk_loader(train_ds, cfg.batch_size, True)
     train_seen_loader = mk_loader(train_seen_ds, cfg.batch_size, True)
     val_loader = mk_loader(val_ds, cfg.eval_batch_size, False)

@@ -52,6 +52,8 @@ class Config:
     remat: bool = False                    # rematerialize blocks (big batches)
     chunked_loss: bool = False             # per-sample loss (big batches)
     grad_accum: int = 1                    # microbatches per step (big batches)
+    fused_eval: str = "auto"               # serving-kernel eval: auto|on|off
+    compact_feed: bool = True              # uint8/int8 host feed, device-side normalize
     profile_steps: int = 0                 # >0: jax.profiler trace of N steps
 
     @property

@@ -104,12 +104,16 @@ class SegDatasetBase:
     def __len__(self) -> int:
         return len(self.ids)
 
+    # when True (set by BatchLoader(compact=True)) images stay raw uint8 RGB
+    # and normalization happens on device (transforms.prepare_images)
+    raw_images: bool = False
+
     def __getitem__(self, index: int) -> dict:
         did = self.ids[index]
         img = self._load_image(did)
         lbl = self._load_label(did)
         return {
-            "image": transform_image(img),
+            "image": img if self.raw_images else transform_image(img),
             "label": lbl.astype(np.int32),
             "id": did,
             "size": (lbl.shape[0], lbl.shape[1]),

@@ -33,7 +33,8 @@ class BatchLoader:
                  shuffle: bool = False, seed: int = 1337,
                  drop_remainder: bool = False,
                  num_threads: int = 4, prefetch: int = 2,
-                 use_native: bool | None = None):
+                 use_native: bool | None = None,
+                 compact: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.bucket_hw = bucket_hw
@@ -43,10 +44,19 @@ class BatchLoader:
         self.num_threads = num_threads
         self.prefetch = prefetch
         self.epoch = 0
+        # compact feed: ship uint8 RGB images + int8 labels and normalize on
+        # device (transforms.prepare_images) — 4x fewer host->HBM bytes.
+        # Labels fit int8 (ids < 128 always; -1 = ignore). Not yet wired into
+        # the native decoder (it emits float32), so compact forces the python
+        # decode path.
+        self.compact = compact
+        if compact:
+            dataset.raw_images = True
         # native C++ decode path (libzss_loader): auto-enabled when the
         # library is built and the dataset's labels are PNG-decodable
         self._native = None
-        if use_native is not False and hasattr(dataset, "native_label_kwargs"):
+        if (not compact and use_native is not False
+                and hasattr(dataset, "native_label_kwargs")):
             kwargs = dataset.native_label_kwargs()
             if kwargs is not None:
                 from zeroshotsemanticsegmentation_tpu.data.native import (
@@ -82,8 +92,10 @@ class BatchLoader:
     def _assemble(self, samples) -> dict:
         bh, bw = self.bucket_hw
         b = self.batch_size
-        image = np.zeros((b, bh, bw, 3), np.float32)
-        label = np.full((b, bh, bw), PAD_LABEL, np.int32)
+        img_dtype = np.uint8 if self.compact else np.float32
+        lbl_dtype = np.int8 if self.compact else np.int32
+        image = np.zeros((b, bh, bw, 3), img_dtype)
+        label = np.full((b, bh, bw), PAD_LABEL, lbl_dtype)
         sizes = np.zeros((b, 2), np.int32)
         ids = [""] * b
         for i, s in enumerate(samples):
@@ -171,6 +183,7 @@ class SyntheticDataset:
     """
 
     dataset_name = "synthetic"
+    raw_images = False  # set by BatchLoader(compact=True): emit uint8 RGB
 
     def __init__(self, num_images: int = 64, *, num_classes: int = 21,
                  size_range: tuple[int, int] = (320, 500), seed: int = 0,
@@ -186,15 +199,23 @@ class SyntheticDataset:
         return self.num_images
 
     def __getitem__(self, index: int) -> dict:
-        rng = np.random.RandomState(self.seed * 100003 + int(index))
+        # SFC64 + float32 draws: ~8x cheaper than legacy RandomState.randn —
+        # this host has ONE core, so expensive synthetic decode would
+        # masquerade as a data-path bottleneck in end-to-end feed benchmarks
+        rng = np.random.Generator(
+            np.random.SFC64(self.seed * 100003 + int(index)))
         lo, hi = self.size_range
-        h = int(rng.randint(lo, hi + 1))
-        w = int(rng.randint(lo, hi + 1))
-        img = rng.randn(h, w, 3).astype(np.float32) * 40.0
+        h = int(rng.integers(lo, hi + 1))
+        w = int(rng.integers(lo, hi + 1))
+        if self.raw_images:
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        else:
+            img = rng.standard_normal((h, w, 3), dtype=np.float32) * 40.0
         # blocky labels (coarse random class regions) + sparse ignore pixels
-        ch = rng.randint(0, self.num_classes, size=(8, 8))
+        ch = rng.integers(0, self.num_classes, size=(8, 8))
         lbl = np.kron(ch, np.ones((-(-h // 8), -(-w // 8)), np.int64))[:h, :w]
         lbl = lbl.astype(np.int32)
-        lbl[rng.rand(h, w) < 0.02] = -1
+        ign = rng.integers(0, h * w, size=h * w // 50)
+        lbl.ravel()[ign] = -1
         return {"image": img, "label": lbl, "id": f"synthetic_{index}",
                 "size": (h, w)}

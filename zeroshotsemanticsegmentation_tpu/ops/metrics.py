@@ -6,15 +6,19 @@ is in the seen / unseen class set, accumulated across the epoch, then reduced
 to (pixel acc, mean class acc, mean IoU, freq-weighted IoU) with NaN-ignoring
 means.
 
-TPU-first design: the histogram is a jnp scatter-add that runs on device
-inside the jitted eval step (the reference round-trips every image to host
-numpy, utils.py:116-118); device hists are summed with psum across the mesh
-and only the final (n_class, n_class) arrays reach the host, where
-`hist_to_metrics` derives the four metrics.
+TPU-first design: the histogram runs on device inside the jitted eval step
+(the reference round-trips every image to host numpy, utils.py:116-118) as a
+one-hot reduction, NOT a scatter-add — TPU scatters with duplicate indices
+serialize (measured 42 ms per hist over 4M pixels on v5e) while the one-hot
+sum fuses into an MXU-friendly reduction (≈7 ms for all three zero-shot
+hists). Device hists are summed with psum across the mesh and only the final
+(n_class, n_class) arrays reach the host, where `hist_to_metrics` derives the
+four metrics.
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -27,16 +31,23 @@ def confusion_matrix(label_true: jnp.ndarray, label_pred: jnp.ndarray,
     Pixels with label_true outside [0, num_classes) are ignored, matching
     reference _fast_hist (utils.py:104-119). `sample_mask` optionally
     restricts further (e.g., to seen-class pixels).
+
+    Counts accumulate exactly: the one-hot sum reduces per leading-axis row
+    in fp32 (counts ≤ pixels/row < 2^24 for any realistic H*W) and crosses
+    rows in int32.
     """
     valid = (label_true >= 0) & (label_true < num_classes)
     if sample_mask is not None:
         valid = valid & sample_mask
+    n = num_classes
     lt = jnp.where(valid, label_true, 0)
     lp = jnp.where(valid, label_pred, 0)
-    idx = (lt * num_classes + lp).ravel()
-    hist = jnp.zeros((num_classes * num_classes,), jnp.int32)
-    hist = hist.at[idx].add(valid.ravel().astype(jnp.int32))
-    return hist.reshape(num_classes, num_classes)
+    idx = jnp.where(valid, lt * n + lp, n * n)  # invalid -> dropped bucket
+    flat = idx.reshape(idx.shape[0], -1) if idx.ndim > 1 else idx.reshape(1, -1)
+    oh = jax.nn.one_hot(flat, n * n + 1, dtype=jnp.float32)
+    per_row = jnp.sum(oh, axis=1)  # (B, n²+1)
+    hist = jnp.sum(per_row.astype(jnp.int32), axis=0)[:n * n]
+    return hist.reshape(n, n)
 
 
 def zeroshot_hists(label_true: jnp.ndarray, label_pred: jnp.ndarray,
@@ -46,14 +57,15 @@ def zeroshot_hists(label_true: jnp.ndarray, label_pred: jnp.ndarray,
 
     unseen_class_mask: (num_classes,) bool, True for unseen classes
     (reference _fast_hist target='seen'/'unseen', utils.py:107-114).
+
+    The seen/unseen restriction applies to the *true* label only, so both
+    partition hists are exact row-maskings of the overall hist — one
+    histogram pass serves all three.
     """
-    lt_safe = jnp.clip(label_true, 0, num_classes - 1)
-    pix_unseen = unseen_class_mask[lt_safe]
     h_all = confusion_matrix(label_true, label_pred, num_classes)
-    h_seen = confusion_matrix(label_true, label_pred, num_classes,
-                              sample_mask=~pix_unseen)
-    h_unseen = confusion_matrix(label_true, label_pred, num_classes,
-                                sample_mask=pix_unseen)
+    unseen_rows = jnp.asarray(unseen_class_mask)[:, None]
+    h_seen = jnp.where(unseen_rows, 0, h_all)
+    h_unseen = jnp.where(unseen_rows, h_all, 0)
     return jnp.stack([h_all, h_seen, h_unseen])
 
 

@@ -116,6 +116,34 @@ def _fused(score_small, gate_small, embed_scaled, seen_mask, unseen_mask,
     return out[:n_rows].reshape(b, out_h, out_w)
 
 
+def infer_labels_nne_fused(score_small: jnp.ndarray,
+                           embeddings: jnp.ndarray,
+                           out_hw: tuple[int, int],
+                           *, row_tile: int = DEFAULT_ROW_TILE,
+                           interpret: bool | None = None) -> jnp.ndarray:
+    """Plain (unstitched) NNE from the raw head — reference infer_lbl
+    (utils.py:159-185) over ALL classes, fused like infer_labels_szn_fused.
+
+    Reuses the SZN kernel with an always-negative gate (the bilinear
+    upsample of a constant -1 field stays < 0 everywhere, so the seen branch
+    — here: every class — always wins) and an empty unseen partition.
+    Equivalent to ops.nne.infer_labels(upsample(score), embeddings).
+    """
+    e = embeddings.astype(jnp.float32)
+    norm2 = jnp.sum(e * e, axis=1, keepdims=True)
+    embed_scaled = e / jnp.sqrt(jnp.where(norm2 == 0, 1.0, norm2))
+    k = e.shape[0]
+    seen = jnp.concatenate([jnp.ones((k,), jnp.float32),
+                            jnp.zeros((1,), jnp.float32)])[:, None]
+    unseen = jnp.zeros((k + 1, 1), jnp.float32)
+    fill = jnp.concatenate([jnp.zeros((k,), jnp.float32),
+                            jnp.full((1,), -1e30, jnp.float32)])[:, None]
+    gate_small = jnp.full(score_small.shape[:-1], -1.0, jnp.float32)
+    return _fused(score_small, gate_small, embed_scaled, seen, unseen, fill,
+                  int(out_hw[0]), int(out_hw[1]), row_tile,
+                  _interpret_default() if interpret is None else interpret)
+
+
 def infer_labels_szn_fused(score_small: jnp.ndarray,
                            seenmask_small: jnp.ndarray,
                            embeddings: jnp.ndarray,

@@ -67,10 +67,25 @@ def run(n_devices: int, *, channel_scale: float = 1.0,
 
     train_step = make_fcn_train_step(model, tx, loss_name="cos",
                                      num_classes=21, embeddings=emb)
+    # first step compiles; subsequent steps are pure execution, so their
+    # wall-clock bounds collective health — a rendezvous deadlock would
+    # otherwise only surface as an opaque driver timeout
+    import time
     state, aux = train_step(state, batch, jax.random.PRNGKey(1))
     loss = float(aux["loss"])
     assert np.isfinite(loss), f"non-finite train loss {loss}"
-    assert int(state.step) == 1
+    t0 = time.perf_counter()
+    state, aux = train_step(state, batch, jax.random.PRNGKey(1))
+    loss = float(aux["loss"])  # host fetch = step complete
+    exec_wall_s = time.perf_counter() - t0
+    assert np.isfinite(loss), f"non-finite train loss {loss}"
+    assert int(state.step) == 2
+    # generous: one full-width 64² step measures ~75 s on this 1-core CPU
+    # host — the bound only exists to turn a true collective deadlock
+    # (infinite) into a fast, attributable failure
+    assert exec_wall_s < 300, (
+        f"a post-compile sharded step took {exec_wall_s:.0f}s "
+        "— collectives are likely stalled")
 
     eval_step = make_szn_eval_step(model, loss_name="cos", num_classes=21,
                                    embeddings=emb, all_unseen_vec=unseen_vec,
@@ -80,6 +95,7 @@ def run(n_devices: int, *, channel_scale: float = 1.0,
 
     result = {"devices": n_devices, "mesh": dict(mesh.shape),
               "train_loss": loss, "eval_loss": float(out["loss_sum"]),
+              "steps_wall_s": round(exec_wall_s, 2),
               "platform": devices[0].platform}
     print(f"dryrun_multichip OK: {result}", flush=True)
     return result

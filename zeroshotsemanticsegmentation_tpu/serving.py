@@ -43,6 +43,9 @@ def make_szn_predictor(model, params, embeddings, unseen_classes,
     # full weight tree into the HLO as constants)
     @jax.jit
     def _predict(params, embed, unseen_vec, images):
+        from zeroshotsemanticsegmentation_tpu.data.transforms import (
+            prepare_images)
+        images = prepare_images(images)  # uint8 RGB accepted (compact feed)
         f_raw, s_raw = model.apply({"params": params}, images, mode="raw")
         return infer_labels_szn_fused(
             f_raw, s_raw, embed, unseen_vec,

@@ -48,6 +48,26 @@ def _pad_mask(sizes: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
             (cols >= sizes[:, 1, None, None]))
 
 
+def _prepare_batch(batch):
+    """(images fp32 BGR mean-sub zero-padded, labels int32) from either feed.
+
+    Compact-feed batches arrive as uint8 RGB + int8 labels (4x fewer
+    host->HBM bytes); normalization runs here on device. The bucket-pad
+    region is re-zeroed afterwards — uint8 zeros would otherwise become
+    -mean_bgr and break the padding == conv-zero-padding equivalence that
+    keeps static-shape batching semantics-neutral.
+    """
+    from zeroshotsemanticsegmentation_tpu.data.transforms import (
+        prepare_images)
+    images = prepare_images(batch["image"])
+    labels = batch["label"].astype(jnp.int32)
+    if batch["image"].dtype == jnp.uint8:
+        h, w = labels.shape[1], labels.shape[2]
+        pad = _pad_mask(batch["sizes"], h, w)
+        images = jnp.where(pad[..., None], 0.0, images)
+    return images, labels
+
+
 def _fcn_infer(score, label, embeddings, *, forced_unseen, all_unseen_vec):
     if embeddings is None:
         return jnp.argmax(score, axis=-1).astype(jnp.int32)
@@ -95,7 +115,8 @@ def make_fcn_train_step(model, tx, *, loss_name: str, num_classes: int,
     @jax.jit
     def train_step(state, batch, dropout_key):
         key = jax.random.fold_in(dropout_key, state.step)
-        out_h, out_w = batch["label"].shape[1], batch["label"].shape[2]
+        images, labels = _prepare_batch(batch)
+        out_h, out_w = labels.shape[1], labels.shape[2]
         denom = jnp.maximum(batch["num_real"], 1)
 
         def infer_hist(score, label):
@@ -144,17 +165,15 @@ def make_fcn_train_step(model, tx, *, loss_name: str, num_classes: int,
             return loss, score_sum, hist, grads
 
         if grad_accum == 1:
-            loss, score_sum, hist, grads = value_grad_one(
-                batch["image"], batch["label"], key)
+            loss, score_sum, hist, grads = value_grad_one(images, labels, key)
         else:
-            b = batch["image"].shape[0]
+            b = images.shape[0]
             if b % grad_accum:
                 raise ValueError(
                     f"batch {b} not divisible by grad_accum {grad_accum}")
             m = b // grad_accum
-            imgs = batch["image"].reshape(grad_accum, m,
-                                          *batch["image"].shape[1:])
-            lbls = batch["label"].reshape(grad_accum, m, out_h, out_w)
+            imgs = images.reshape(grad_accum, m, *images.shape[1:])
+            lbls = labels.reshape(grad_accum, m, out_h, out_w)
 
             def body(carry, xs):
                 loss_a, ssum_a, hist_a, grads_a = carry
@@ -188,23 +207,69 @@ def make_fcn_train_step(model, tx, *, loss_name: str, num_classes: int,
     return train_step
 
 
+def _chunked_loss_from_raw(loss_one, f_small, labels, out_h, out_w):
+    """(loss_sum, score_sum): per-sample upsample+loss under lax.map — the
+    same fp32 interpolation matrices as the whole-batch path, one sample at a
+    time, so values are identical while full-res volumes never coexist."""
+    from zeroshotsemanticsegmentation_tpu.ops.bilinear import (
+        upsample_bilinear_cropped)
+
+    def one(args):
+        fs, lbl = args
+        score = upsample_bilinear_cropped(
+            fs[None].astype(jnp.float32), stride=32, kernel_size=64,
+            crop_offset=19, out_h=out_h, out_w=out_w)
+        return loss_one(score[0], lbl), jnp.sum(score)
+
+    losses, ssums = jax.lax.map(one, (f_small, labels))
+    return jnp.sum(losses), jnp.sum(ssums)
+
+
 def make_fcn_eval_step(model, *, loss_name: str, num_classes: int,
                        embeddings=None, target_embeddings=None,
                        forced_unseen: bool = False,
-                       all_unseen_vec=None, val_unseen_vec=None):
-    """Stage-1/test_fcn eval step (reference Trainer.forward path)."""
+                       all_unseen_vec=None, val_unseen_vec=None,
+                       fused: bool = False):
+    """Stage-1/test_fcn eval step (reference Trainer.forward path).
+
+    `fused` (NNE modes only — argmax baseline and the forced-unseen oracle
+    keep the reference path): predictions come from the raw 1/32-res head
+    through ops.szn_fused's projection+upsample+argmax kernel and the loss
+    from the per-sample chunked upsample — full-res score volumes never hit
+    HBM (~28 MB vs ~700 MB of traffic per batch at B=16 512²).
+    """
     if target_embeddings is None:
         target_embeddings = embeddings
     loss_one = _per_sample_fcn_loss(loss_name, target_embeddings)
 
+    if fused and embeddings is not None and not forced_unseen:
+        from zeroshotsemanticsegmentation_tpu.ops.szn_fused import (
+            infer_labels_nne_fused)
+
+        @jax.jit
+        def eval_step(params, batch):
+            images, labels = _prepare_batch(batch)
+            out_h, out_w = labels.shape[1], labels.shape[2]
+            f_small = model.apply({"params": params}, images, mode="raw")[0]
+            loss_sum, score_sum = _chunked_loss_from_raw(
+                loss_one, f_small, labels, out_h, out_w)
+            pred = infer_labels_nne_fused(f_small, embeddings, (out_h, out_w))
+            hists = zeroshot_hists(labels, pred, num_classes,
+                                   val_unseen_vec)
+            return {"loss_sum": loss_sum, "hists": hists, "pred": pred,
+                    "score_sum": score_sum}
+
+        return eval_step
+
     @jax.jit
     def eval_step(params, batch):
-        score = model.apply({"params": params}, batch["image"], mode="fcn")
-        losses = jax.vmap(loss_one)(score, batch["label"])
-        pred = _fcn_infer(score, batch["label"], embeddings,
+        images, labels = _prepare_batch(batch)
+        score = model.apply({"params": params}, images, mode="fcn")
+        losses = jax.vmap(loss_one)(score, labels)
+        pred = _fcn_infer(score, labels, embeddings,
                           forced_unseen=forced_unseen,
                           all_unseen_vec=all_unseen_vec)
-        hists = zeroshot_hists(batch["label"], pred, num_classes,
+        hists = zeroshot_hists(labels, pred, num_classes,
                                val_unseen_vec)
         return {"loss_sum": jnp.sum(losses), "hists": hists, "pred": pred,
                 "score_sum": jnp.sum(score.astype(jnp.float32))}
@@ -214,21 +279,47 @@ def make_fcn_eval_step(model, *, loss_name: str, num_classes: int,
 
 def make_szn_eval_step(model, *, loss_name: str, num_classes: int,
                        embeddings, target_embeddings=None,
-                       all_unseen_vec=None, val_unseen_vec=None):
+                       all_unseen_vec=None, val_unseen_vec=None,
+                       fused: bool = False):
     """Full-SZN eval step (reference Trainer.forward_szn, trainer_fcn.py:123-147):
-    both heads, seenmask-gated stitched NNE inference, fcn loss."""
+    both heads, seenmask-gated stitched NNE inference, fcn loss.
+
+    `fused`: serving-path inference (ops.szn_fused from the raw heads) +
+    chunked per-sample loss; equivalent up to fp argmax ties (tested)."""
     if target_embeddings is None:
         target_embeddings = embeddings
     loss_one = _per_sample_fcn_loss(loss_name, target_embeddings)
 
+    if fused:
+        from zeroshotsemanticsegmentation_tpu.ops.szn_fused import (
+            infer_labels_szn_fused)
+
+        @jax.jit
+        def eval_step(params, batch):
+            images, labels = _prepare_batch(batch)
+            out_h, out_w = labels.shape[1], labels.shape[2]
+            f_small, s_small = model.apply({"params": params},
+                                           images, mode="raw")
+            loss_sum, score_sum = _chunked_loss_from_raw(
+                loss_one, f_small, labels, out_h, out_w)
+            pred = infer_labels_szn_fused(f_small, s_small, embeddings,
+                                          all_unseen_vec, (out_h, out_w))
+            hists = zeroshot_hists(labels, pred, num_classes,
+                                   val_unseen_vec)
+            return {"loss_sum": loss_sum, "hists": hists, "pred": pred,
+                    "score_sum": score_sum}
+
+        return eval_step
+
     @jax.jit
     def eval_step(params, batch):
+        images, labels = _prepare_batch(batch)
         fcn_score, seenmask_score = model.apply({"params": params},
-                                                batch["image"], mode="both")
-        losses = jax.vmap(loss_one)(fcn_score, batch["label"])
+                                                images, mode="both")
+        losses = jax.vmap(loss_one)(fcn_score, labels)
         pred = infer_labels_szn(fcn_score, seenmask_score, embeddings,
                                 all_unseen_vec)
-        hists = zeroshot_hists(batch["label"], pred, num_classes,
+        hists = zeroshot_hists(labels, pred, num_classes,
                                val_unseen_vec)
         return {"loss_sum": jnp.sum(losses), "hists": hists, "pred": pred,
                 "score_sum": jnp.sum(fcn_score.astype(jnp.float32))}
@@ -255,10 +346,11 @@ def make_seenmask_train_step(model, tx, *, seen_vec):
     @jax.jit
     def train_step(state, batch, dropout_key):
         key = jax.random.fold_in(dropout_key, state.step)
-        target = _seenmask_target(batch["label"], batch["sizes"], seen_vec)
+        images, labels = _prepare_batch(batch)
+        target = _seenmask_target(labels, batch["sizes"], seen_vec)
 
         def loss_fn(params):
-            score = model.apply({"params": params}, batch["image"],
+            score = model.apply({"params": params}, images,
                                 train=True, mode="seenmask",
                                 rngs={"dropout": key})
             losses = jax.vmap(
@@ -289,8 +381,9 @@ def make_seenmask_train_step(model, tx, *, seen_vec):
 def make_seenmask_eval_step(model, *, seen_vec):
     @jax.jit
     def eval_step(params, batch):
-        target = _seenmask_target(batch["label"], batch["sizes"], seen_vec)
-        score = model.apply({"params": params}, batch["image"],
+        images, labels = _prepare_batch(batch)
+        target = _seenmask_target(labels, batch["sizes"], seen_vec)
+        score = model.apply({"params": params}, images,
                             mode="seenmask")
         losses = jax.vmap(
             lambda s, t: cross_entropy2d(s[None], t[None],

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from zeroshotsemanticsegmentation_tpu.data.transforms import untransform_image
+from zeroshotsemanticsegmentation_tpu.data.transforms import batch_image_rgb
 from zeroshotsemanticsegmentation_tpu.ops import hist_to_metrics
 from zeroshotsemanticsegmentation_tpu.ops.metrics import unseen_mask_vector
 from zeroshotsemanticsegmentation_tpu.train import checkpoint as ckpt
@@ -55,6 +55,32 @@ def _to_device(batch: dict) -> dict:
         "sizes": jnp.asarray(batch["sizes"]),
         "num_real": jnp.asarray(batch["num_real"], jnp.int32),
     }
+
+
+def prefetch_to_device(loader, put, depth: int = 2):
+    """Yield (host_batch, device_batch) pairs with `depth`-deep device-side
+    double buffering: the transfer of batch N+1 is issued (asynchronously)
+    before batch N's step results are consumed, so host->HBM copies overlap
+    device compute instead of serializing after each dispatch (the reference
+    has no analog — its DataLoader prefetches host-side only, train.py:81-84).
+    """
+    from collections import deque
+    q: deque = deque()
+    it = iter(loader)
+
+    def fill():
+        while len(q) < depth:
+            try:
+                b = next(it)
+            except StopIteration:
+                return
+            q.append((b, put(b)))
+
+    fill()
+    while q:
+        pair = q.popleft()
+        fill()  # issue the next transfer before the caller blocks on compute
+        yield pair
 
 
 class FCNTrainer:
@@ -111,13 +137,19 @@ class FCNTrainer:
         self._train_step = make_fcn_train_step(
             model, tx, chunked_loss=getattr(cfg, "chunked_loss", False),
             grad_accum=getattr(cfg, "grad_accum", 1), **kw)
+        # fused eval = the serving inference kernel inside validation; "auto"
+        # enables it on real TPU single-chip runs (interpret-mode pallas is
+        # slow on CPU; pallas under a GSPMD mesh is not yet exercised)
+        fe = getattr(cfg, "fused_eval", "auto")
+        fused = fe == "on" or (fe == "auto" and mesh is None
+                               and jax.default_backend() == "tpu")
         self._eval_step = make_fcn_eval_step(model, val_unseen_vec=val_unseen_vec,
-                                             **kw)
+                                             fused=fused, **kw)
         if self.zeroshot and emb is not None:
             self._szn_eval_step = make_szn_eval_step(
                 model, loss_name=cfg.fcn_loss, num_classes=n, embeddings=emb,
                 target_embeddings=temb, all_unseen_vec=all_unseen_vec,
-                val_unseen_vec=val_unseen_vec)
+                val_unseen_vec=val_unseen_vec, fused=fused)
         else:
             self._szn_eval_step = None
         self._dropout_key = jax.random.PRNGKey(cfg.seed)
@@ -139,14 +171,15 @@ class FCNTrainer:
         self.train_loader.set_epoch(self.epoch)
         log = self.logger
         profiling = False
-        for batch_idx, batch in enumerate(self.train_loader):
+        feed = prefetch_to_device(self.train_loader, self._put)
+        for batch_idx, (_, dbatch) in enumerate(feed):
             # optional jax.profiler window (skip step 0: compile noise)
             if (self.cfg.profile_steps and self.epoch == 0
                     and batch_idx == 1 and not profiling):
                 import jax
                 jax.profiler.start_trace(osp.join(log.log_dir, "profile"))
                 profiling = True
-            self.state, aux = self._train_step(self.state, self._put(batch),
+            self.state, aux = self._train_step(self.state, dbatch,
                                                self._dropout_key)
             if profiling and batch_idx >= self.cfg.profile_steps:
                 import jax
@@ -187,8 +220,8 @@ class FCNTrainer:
         loss_sum, n_images = 0.0, 0
         hists = np.zeros((3, self.n_class, self.n_class), np.int64)
         tiles = []
-        for batch in self.val_loader:
-            out = step_fn(self.state.params, self._put(batch))
+        for batch, dbatch in prefetch_to_device(self.val_loader, self._put):
+            out = step_fn(self.state.params, dbatch)
             loss_sum += float(out["loss_sum"])
             n_images += batch["num_real"]
             hists += np.asarray(out["hists"])
@@ -198,7 +231,7 @@ class FCNTrainer:
                     if len(tiles) >= cfg.num_viz:
                         break
                     h, w = batch["sizes"][i]
-                    img = untransform_image(batch["image"][i, :h, :w])
+                    img = batch_image_rgb(batch["image"][i, :h, :w])
                     tiles.append(visualize_segmentation(
                         lbl_pred=pred[i, :h, :w],
                         lbl_true=batch["label"][i, :h, :w].copy(),

@@ -23,14 +23,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from zeroshotsemanticsegmentation_tpu.data.transforms import untransform_image
+from zeroshotsemanticsegmentation_tpu.data.transforms import batch_image_rgb
 from zeroshotsemanticsegmentation_tpu.ops import hist_to_metrics
 from zeroshotsemanticsegmentation_tpu.train import checkpoint as ckpt
 from zeroshotsemanticsegmentation_tpu.train.state import TrainState
 from zeroshotsemanticsegmentation_tpu.train.steps import (
     make_seenmask_eval_step, make_seenmask_train_step)
 from zeroshotsemanticsegmentation_tpu.train.trainer_fcn import (
-    _METRIC_NAMES, TRAIN_HEADERS, _to_device, val_headers)
+    _METRIC_NAMES, TRAIN_HEADERS, _to_device, prefetch_to_device, val_headers)
 from zeroshotsemanticsegmentation_tpu.viz import (
     get_tile_image, save_image, visualize_seenmask)
 
@@ -79,8 +79,9 @@ class SeenmaskTrainer:
     def train_epoch(self) -> None:
         self.train_loader.set_epoch(1_000_000 + self.epoch)
         log = self.logger
-        for batch_idx, batch in enumerate(self.train_loader):
-            self.state, aux = self._train_step(self.state, self._put(batch),
+        feed = prefetch_to_device(self.train_loader, self._put)
+        for batch_idx, (_, dbatch) in enumerate(feed):
+            self.state, aux = self._train_step(self.state, dbatch,
                                                self._dropout_key)
             if batch_idx % self.cfg.log_interval:
                 continue
@@ -105,8 +106,8 @@ class SeenmaskTrainer:
         loss_sum, n_images = 0.0, 0
         hist = np.zeros((2, 2), np.int64)
         tiles = []
-        for batch in self.val_loader:
-            out = self._eval_step(self.state.params, self._put(batch))
+        for batch, dbatch in prefetch_to_device(self.val_loader, self._put):
+            out = self._eval_step(self.state.params, dbatch)
             loss_sum += float(out["loss_sum"])
             n_images += batch["num_real"]
             hist += np.asarray(out["hists"])[0]
@@ -116,7 +117,7 @@ class SeenmaskTrainer:
                     if len(tiles) >= cfg.num_viz:
                         break
                     h, w = batch["sizes"][i]
-                    img = untransform_image(batch["image"][i, :h, :w])
+                    img = batch_image_rgb(batch["image"][i, :h, :w])
                     lbl = batch["label"][i, :h, :w]
                     seen_true = np.where(
                         lbl < 0, -1,

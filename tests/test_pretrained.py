@@ -2,6 +2,8 @@
 
 import os.path as osp
 
+import numpy as np
+
 import pytest
 
 from zeroshotsemanticsegmentation_tpu.models.pretrained import (
@@ -64,3 +66,48 @@ def test_dataset_download_idempotent(tmp_path, monkeypatch):
     dl.download_pascal(str(tmp_path))
     dl.download_context(str(tmp_path))
     assert not called
+
+
+def test_egress_runbook_vgg_check_logic(tmp_path, rng):
+    """scripts/egress_runbook.py's verification path works end to end with a
+    synthetic torchvision-shaped .pth, so egress day needs zero debugging —
+    only the real download differs."""
+    import importlib.util
+    import os.path as osp
+    import torch
+
+    repo = osp.dirname(osp.dirname(osp.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "egress_runbook", osp.join(repo, "scripts", "egress_runbook.py"))
+    rb = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rb)
+
+    shapes = {
+        "features.0": (64, 3), "features.2": (64, 64),
+        "features.5": (128, 64), "features.7": (128, 128),
+        "features.10": (256, 128), "features.12": (256, 256),
+        "features.14": (256, 256),
+        "features.17": (512, 256), "features.19": (512, 512),
+        "features.21": (512, 512),
+        "features.24": (512, 512), "features.26": (512, 512),
+        "features.28": (512, 512),
+    }
+    sd = {}
+    for key, (o, i) in shapes.items():
+        sd[f"{key}.weight"] = torch.from_numpy(
+            rng.randn(o, i, 3, 3).astype(np.float32) * 0.01)
+        sd[f"{key}.bias"] = torch.from_numpy(
+            rng.randn(o).astype(np.float32) * 0.01)
+    sd["classifier.0.weight"] = torch.from_numpy(
+        rng.randn(4096, 25088).astype(np.float32) * 0.001)
+    sd["classifier.0.bias"] = torch.from_numpy(
+        rng.randn(4096).astype(np.float32) * 0.01)
+    sd["classifier.3.weight"] = torch.from_numpy(
+        rng.randn(4096, 4096).astype(np.float32) * 0.001)
+    sd["classifier.3.bias"] = torch.from_numpy(
+        rng.randn(4096).astype(np.float32) * 0.01)
+    pth = str(tmp_path / "vgg16_from_caffe.pth")
+    torch.save(sd, pth)
+
+    rel = rb.verify_vgg16_import(pth)
+    assert rel < 1e-3

@@ -102,3 +102,30 @@ def test_fused_eval_steps_match_unfused(rng):
         assert flips < 1e-4, f"{maker.__name__}: {flips:.2e} pred flips"
         assert np.abs(np.asarray(fused["hists"]).astype(np.int64)
                       - np.asarray(base["hists"])).sum() <= 4
+
+
+def test_fused_edge_cases_zero_norms_and_negative_sims(rng):
+    """Quirk coverage inherited from the retired standalone NNE kernel:
+    zero-norm score pixels, a zeroed embedding row (reference seen/unseen
+    matrices zero the other partition, trainer_fcn.py:56-64), and
+    all-negative similarities (a masked-to-0.0 class must win then)."""
+    score = jnp.asarray(rng.randn(1, 4, 5, 8).astype(np.float32))
+    score = score.at[0, :2].set(0.0)          # zero-norm pixels
+    embed = rng.randn(9, 8).astype(np.float32)
+    embed /= np.linalg.norm(embed, axis=1, keepdims=True)
+    embed[3] = 0.0                             # zeroed class row
+    uv = jnp.asarray(unseen_mask_vector(9, [3, 7]))
+    sm = jnp.asarray(rng.randn(1, 4, 5, 2).astype(np.float32))
+    want = np.asarray(unfused(score, sm, jnp.asarray(embed), uv, (70, 90)))
+    got = np.asarray(infer_labels_szn_fused(score, sm, jnp.asarray(embed),
+                                            uv, (70, 90), row_tile=16))
+    assert (got != want).mean() < 1e-3
+    assert got.max() < 9
+
+    # all-negative sims, unrestricted: never a gate/padded id
+    from zeroshotsemanticsegmentation_tpu.ops.szn_fused import (
+        infer_labels_nne_fused)
+    neg = jnp.asarray(-np.abs(rng.randn(1, 4, 5, 8)).astype(np.float32))
+    got2 = np.asarray(infer_labels_nne_fused(neg, jnp.asarray(embed),
+                                             (70, 90), row_tile=16))
+    assert got2.max() < 9

@@ -27,10 +27,6 @@ from zeroshotsemanticsegmentation_tpu.ops.nne import (
     infer_labels_szn,
     infer_labels_forced_unseen,
 )
-from zeroshotsemanticsegmentation_tpu.ops.nne_pallas import (
-    infer_labels_pallas,
-    infer_labels_szn_pallas,
-)
 
 __all__ = [
     "bilinear_filter_1d",
@@ -48,6 +44,4 @@ __all__ = [
     "infer_labels_stitched",
     "infer_labels_szn",
     "infer_labels_forced_unseen",
-    "infer_labels_pallas",
-    "infer_labels_szn_pallas",
 ]

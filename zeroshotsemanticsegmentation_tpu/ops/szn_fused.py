@@ -6,7 +6,7 @@ projection is per-pixel linear, so they commute:
 
     upsample(score) · ê_k  ==  upsample(score · ê_k)        (ê = e/‖e‖)
 
-and the per-pixel score norm is argmax-invariant (see ops.nne_pallas). The
+and the per-pixel score norm is argmax-invariant. The
 same holds for the seenmask gate: sign(upsample(s₀-s₁)) == seenmask argmax of
 the upsampled head. So SZN inference needs only the (B, h₃₂, w₃₂, C) raw
 heads:

@@ -26,6 +26,7 @@ class RunLogger:
         self.verbose = verbose
         os.makedirs(log_dir, exist_ok=True)
         self.timestamp_start = datetime.datetime.now(_TZ)
+        self._csv_files: dict[str, object] = {}
         self._tb = None
         if tensorboard:
             try:
@@ -45,12 +46,20 @@ class RunLogger:
             print(msg, flush=True)
 
     def csv_append(self, fname: str, headers: list[str], row: list) -> None:
-        path = osp.join(self.log_dir, fname)
-        if not osp.exists(path):
-            with open(path, "w") as f:
+        """Line-buffered persistent handles: at real-dataset scale this runs
+        8.5k times/epoch — reopening the file per row costs more than the
+        write. Rows stay readable immediately (flush per line) so tailing a
+        live run and mid-run crashes both see every logged row."""
+        f = self._csv_files.get(fname)
+        if f is None:
+            path = osp.join(self.log_dir, fname)
+            fresh = not osp.exists(path)
+            f = open(path, "a")
+            self._csv_files[fname] = f
+            if fresh:
                 f.write(",".join(headers) + "\n")
-        with open(path, "a") as f:
-            f.write(",".join(str(x) for x in row) + "\n")
+        f.write(",".join(str(x) for x in row) + "\n")
+        f.flush()
 
     def scalar(self, tag: str, value, step: int) -> None:
         if self._tb is not None:
@@ -78,5 +87,8 @@ class RunLogger:
         self.text("cfg", "\n".join(f"{k}: {v}" for k, v in cfg_dict.items()))
 
     def close(self) -> None:
+        for f in self._csv_files.values():
+            f.close()
+        self._csv_files.clear()
         if self._tb is not None:
             self._tb.close()

@@ -366,6 +366,38 @@ int decode_label_impl(const char* path, int32_t* out, int bucket_h,
   return 0;
 }
 
+int decode_image_u8_impl(const char* path, uint8_t* out, int bucket_h,
+                         int bucket_w, int* size_hw) {
+  // compact feed: raw RGB uint8 into the bucket (device-side normalization)
+  std::vector<uint8_t> rgb;
+  int h = 0, w = 0;
+  if (!decode_jpeg_rgb(path, &rgb, &h, &w)) return -1;
+  if (h > bucket_h || w > bucket_w) return -2;
+  std::memset(out, 0, size_t(bucket_h) * bucket_w * 3);
+  for (int y = 0; y < h; ++y) {
+    std::memcpy(out + size_t(y) * bucket_w * 3,
+                rgb.data() + size_t(y) * w * 3, size_t(w) * 3);
+  }
+  if (size_hw) { size_hw[0] = h; size_hw[1] = w; }
+  return 0;
+}
+
+int decode_label_i8_impl(const char* path, int8_t* out, int bucket_h,
+                         int bucket_w, int value_offset, int map255_to_ignore,
+                         int* size_hw) {
+  // compact feed: int8 labels (class ids < 128 for every dataset; -1=ignore)
+  std::vector<int32_t> wide(size_t(bucket_h) * bucket_w);
+  int rc = decode_label_impl(path, wide.data(), bucket_h, bucket_w,
+                             value_offset, map255_to_ignore, size_hw);
+  if (rc != 0) return rc;
+  for (size_t i = 0; i < wide.size(); ++i) {
+    int32_t v = wide[i];
+    if (v < -128 || v > 127) return -5;  // would not survive narrowing
+    out[i] = int8_t(v);
+  }
+  return 0;
+}
+
 }  // namespace
 
 extern "C" {
@@ -400,6 +432,38 @@ int zss_load_batch(const char** image_paths, const char** label_paths, int n,
           bucket_h, bucket_w, sizes + 2 * i);
       if (rc == 0 && label_paths && label_paths[i]) {
         rc = zss_decode_label(
+            label_paths[i], labels + size_t(i) * bucket_h * bucket_w,
+            bucket_h, bucket_w, value_offset, map255_to_ignore, nullptr);
+      }
+      status[i] = rc;
+    }
+  };
+  int threads = std::min(num_threads, n);
+  pool.reserve(threads);
+  for (int t = 0; t < threads; ++t) pool.emplace_back(worker);
+  for (auto& t : pool) t.join();
+  for (int rc : status) if (rc != 0) return rc;
+  return 0;
+}
+
+// Compact-feed batch: (n, bh, bw, 3) uint8 RGB + (n, bh, bw) int8 labels —
+// 4x fewer bytes than the float32/int32 batch; normalization happens on
+// device (transforms.prepare_images).
+int zss_load_batch_compact(const char** image_paths, const char** label_paths,
+                           int n, uint8_t* images, int8_t* labels, int* sizes,
+                           int bucket_h, int bucket_w, int value_offset,
+                           int map255_to_ignore, int num_threads) {
+  if (num_threads < 1) num_threads = 1;
+  std::vector<int> status(n, 0);
+  std::vector<std::thread> pool;
+  std::atomic_int next_idx{0};
+  auto worker = [&]() {
+    for (int i = next_idx.fetch_add(1); i < n; i = next_idx.fetch_add(1)) {
+      int rc = decode_image_u8_impl(
+          image_paths[i], images + size_t(i) * bucket_h * bucket_w * 3,
+          bucket_h, bucket_w, sizes + 2 * i);
+      if (rc == 0 && label_paths && label_paths[i]) {
+        rc = decode_label_i8_impl(
             label_paths[i], labels + size_t(i) * bucket_h * bucket_w,
             bucket_h, bucket_w, value_offset, map255_to_ignore, nullptr);
       }

@@ -130,3 +130,44 @@ def test_decode_mat_label_matches_scipy(tmp_path, rng):
         np.testing.assert_array_equal(out[:37, :53], want)
         assert size == (37, 53)
         assert (out[37:] == -1).all()
+
+
+def test_load_batch_compact_matches_float(fixtures):
+    """zss_load_batch_compact: raw uint8 + int8 labels; transforming the
+    uint8 batch on host reproduces the float batch exactly (same libjpeg
+    decode), labels narrow losslessly, pads are zero / -1."""
+    img_path, lbl_path, _ = fixtures
+    nl = NativeLoader.get()
+    imgs_f, lbls_f, sizes_f = nl.load_batch(
+        [img_path] * 2, [lbl_path] * 2, (64, 64), num_threads=2)
+    imgs_u8, lbls_i8, sizes_u8 = nl.load_batch(
+        [img_path] * 2, [lbl_path] * 2, (64, 64), num_threads=2,
+        compact=True)
+    assert imgs_u8.dtype == np.uint8 and lbls_i8.dtype == np.int8
+    np.testing.assert_array_equal(sizes_f, sizes_u8)
+    np.testing.assert_array_equal(lbls_f, lbls_i8.astype(np.int32))
+    for i in range(2):
+        h, w = sizes_u8[i]
+        want = transform_image(imgs_u8[i, :h, :w])
+        np.testing.assert_allclose(imgs_f[i, :h, :w], want, atol=1e-4)
+        assert (imgs_u8[i, h:] == 0).all() and (imgs_u8[i, :, w:] == 0).all()
+
+
+def test_batch_loader_native_compact_roundtrip(tmp_path, rng):
+    """BatchLoader(compact=True) keeps the native fast path and produces
+    batches the jitted steps normalize back to the float-path values."""
+    import jax.numpy as jnp
+    from tests.test_data import _make_pascal_tree
+    from zeroshotsemanticsegmentation_tpu.data import BatchLoader, PascalVOC
+    from zeroshotsemanticsegmentation_tpu.train.steps import _prepare_batch
+    data_dir, assets_dir = _make_pascal_tree(tmp_path, tmp_path / "assets")
+    ds = PascalVOC("val", data_dir=data_dir, assets_dir=assets_dir)
+    cb = list(BatchLoader(ds, 2, bucket_hw=(48, 48), use_native=True,
+                          compact=True))
+    fb = list(BatchLoader(ds, 2, bucket_hw=(48, 48), use_native=True))
+    for a, b in zip(cb, fb):
+        assert a["image"].dtype == np.uint8
+        imgs, lbls = _prepare_batch(
+            {k: jnp.asarray(v) for k, v in a.items() if k != "ids"})
+        np.testing.assert_allclose(np.asarray(imgs), b["image"], atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(lbls), b["label"])

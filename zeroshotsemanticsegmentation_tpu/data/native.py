@@ -44,6 +44,19 @@ class NativeLoader:
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int),
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int]
+        # compact feed: older .so builds lack it — probe and degrade
+        try:
+            self._lib.zss_load_batch_compact.restype = ctypes.c_int
+            self._lib.zss_load_batch_compact.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p),
+                ctypes.POINTER(ctypes.c_char_p),
+                ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_int),
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int]
+            self._has_compact = True
+        except AttributeError:
+            self._has_compact = False
 
     @classmethod
     def get(cls) -> "NativeLoader | None":
@@ -87,22 +100,38 @@ class NativeLoader:
 
     def load_batch(self, image_paths: list[str], label_paths: list[str],
                    bucket_hw: tuple[int, int], *, value_offset: int = 0,
-                   map255_to_ignore: bool = True, num_threads: int = 4
+                   map255_to_ignore: bool = True, num_threads: int = 4,
+                   compact: bool = False
                    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """compact=True: uint8 RGB images + int8 labels (device-side
+        normalization, 4x fewer feed bytes)."""
         n = len(image_paths)
         bh, bw = bucket_hw
-        images = np.zeros((n, bh, bw, 3), np.float32)
-        labels = np.full((n, bh, bw), -1, np.int32)
         sizes = np.zeros((n, 2), np.int32)
         img_arr = (ctypes.c_char_p * n)(*[p.encode() for p in image_paths])
         lbl_arr = (ctypes.c_char_p * n)(
             *[p.encode() if p else None for p in label_paths])
-        rc = self._lib.zss_load_batch(
-            img_arr, lbl_arr, n,
-            images.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
-            bh, bw, value_offset, int(map255_to_ignore), num_threads)
+        if compact:
+            if not self._has_compact:
+                raise RuntimeError("libzss_loader.so predates compact "
+                                   "batches; rebuild with `make -C native`")
+            images = np.zeros((n, bh, bw, 3), np.uint8)
+            labels = np.full((n, bh, bw), -1, np.int8)
+            rc = self._lib.zss_load_batch_compact(
+                img_arr, lbl_arr, n,
+                images.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+                sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+                bh, bw, value_offset, int(map255_to_ignore), num_threads)
+        else:
+            images = np.zeros((n, bh, bw, 3), np.float32)
+            labels = np.full((n, bh, bw), -1, np.int32)
+            rc = self._lib.zss_load_batch(
+                img_arr, lbl_arr, n,
+                images.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+                bh, bw, value_offset, int(map255_to_ignore), num_threads)
         if rc != 0:
             raise IOError(f"zss_load_batch failed rc={rc}")
         return images, labels, sizes

@@ -46,16 +46,15 @@ class BatchLoader:
         self.epoch = 0
         # compact feed: ship uint8 RGB images + int8 labels and normalize on
         # device (transforms.prepare_images) — 4x fewer host->HBM bytes.
-        # Labels fit int8 (ids < 128 always; -1 = ignore). Not yet wired into
-        # the native decoder (it emits float32), so compact forces the python
-        # decode path.
+        # Labels fit int8 (ids < 128 always; -1 = ignore). Both decode paths
+        # support it (zss_load_batch_compact natively).
         self.compact = compact
         if compact:
             dataset.raw_images = True
         # native C++ decode path (libzss_loader): auto-enabled when the
         # library is built and the dataset's labels are PNG-decodable
         self._native = None
-        if (not compact and use_native is not False
+        if (use_native is not False
                 and hasattr(dataset, "native_label_kwargs")):
             kwargs = dataset.native_label_kwargs()
             if kwargs is not None:
@@ -112,15 +111,16 @@ class BatchLoader:
         lbl_paths = [self.dataset.label_path(d) for d in ids]
         images, labels, sizes = loader.load_batch(
             img_paths, lbl_paths, self.bucket_hw,
-            num_threads=self.num_threads, **label_kwargs)
+            num_threads=self.num_threads, compact=self.compact,
+            **label_kwargs)
         b = self.batch_size
         if len(chunk) < b:  # pad with all-ignore dummies (static shapes)
             bh, bw = self.bucket_hw
             pad = b - len(chunk)
             images = np.concatenate(
-                [images, np.zeros((pad, bh, bw, 3), np.float32)])
+                [images, np.zeros((pad, bh, bw, 3), images.dtype)])
             labels = np.concatenate(
-                [labels, np.full((pad, bh, bw), PAD_LABEL, np.int32)])
+                [labels, np.full((pad, bh, bw), PAD_LABEL, labels.dtype)])
             sizes = np.concatenate([sizes, np.zeros((pad, 2), np.int32)])
             ids = ids + [""] * pad
         return {"image": images, "label": labels, "sizes": sizes, "ids": ids,

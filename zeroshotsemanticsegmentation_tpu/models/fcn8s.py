@@ -28,7 +28,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from zeroshotsemanticsegmentation_tpu.models.fcn32s import (
-    _PAD_CONV1, _VGG_BLOCKS, _max_pool_ceil)
+    _PAD_CONV1, _VGG_BLOCKS, _max_pool_ceil, run_block1_packed)
 from zeroshotsemanticsegmentation_tpu.ops.bilinear import (
     upsample_bilinear_cropped)
 
@@ -44,6 +44,10 @@ class FCN8s(nn.Module):
     dropout_rate: float = 0.5
     channel_scale: float = 1.0
     remat: bool = False  # rematerialize conv blocks (larger train batches)
+    pack_block1: bool = False  # width-pair lane packing for block 1 (exact)
+
+    def width(self, f: int) -> int:
+        return max(8, int(f * self.channel_scale))
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False,
@@ -51,9 +55,7 @@ class FCN8s(nn.Module):
         if mode not in ("fcn", "seenmask", "both"):
             raise ValueError(f"unexpected forward mode: {mode!r}")
         in_h, in_w = x.shape[1], x.shape[2]
-
-        def width(f: int) -> int:
-            return max(8, int(f * self.channel_scale))
+        width = self.width
 
         def conv(h, name, features, kernel, padding, zero_init=False):
             kw = {}
@@ -63,7 +65,11 @@ class FCN8s(nn.Module):
             return nn.Conv(features, kernel, padding=padding, dtype=self.dtype,
                            param_dtype=self.param_dtype, name=name, **kw)(h)
 
+        packed1 = self.pack_block1 and in_w % 2 == 0
+
         def run_block(mdl, h, bi):
+            if bi == 0 and packed1:
+                return run_block1_packed(mdl, h)
             for c, (name, features) in enumerate(_VGG_BLOCKS[bi]):
                 pad = _PAD_CONV1 if (bi == 0 and c == 0) else 1
                 h = nn.relu(

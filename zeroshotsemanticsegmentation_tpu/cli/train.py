@@ -106,7 +106,8 @@ def run_experiment(cfg, *, preset: int = 0, name: str | None = None,
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     model_cls = FCN8s if cfg.arch == "fcn8s" else FCN32s
     model = model_cls(num_classes=cfg.head_channels, dtype=dtype,
-                      channel_scale=cfg.channel_scale, remat=cfg.remat)
+                      channel_scale=cfg.channel_scale, remat=cfg.remat,
+                      prune_pad=cfg.prune_pad)
     sample = jnp.zeros((1, cfg.bucket[0], cfg.bucket[1], 3), jnp.float32)
     params = jax.jit(
         lambda: model.init(jax.random.PRNGKey(cfg.seed), sample,
@@ -254,6 +255,9 @@ def _parse_args(argv=None):
                    help="backbone width multiplier (<1 for smoke tests)")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize conv blocks (larger train batches)")
+    p.add_argument("--no_prune_pad", action="store_true",
+                   help="disable support-pruned pad-100 blocks (exact fast "
+                        "path, on by default)")
     p.add_argument("--chunked_loss", action="store_true",
                    help="per-sample loss memory chunking (larger batches)")
     p.add_argument("--grad_accum", type=int,
@@ -291,6 +295,8 @@ def main(argv=None) -> dict:
     for flag in ["one_hot_embed", "forced_unseen", "remat", "chunked_loss"]:
         if getattr(args, flag):
             overrides[flag] = True
+    if args.no_prune_pad:
+        overrides["prune_pad"] = False
     for lst in ["train_unseen", "val_unseen"]:
         v = getattr(args, lst)
         if v:

@@ -50,6 +50,7 @@ class Config:
     num_viz: int = 25                      # reference trainer_fcn.py:204
     channel_scale: float = 1.0             # <1: thin model (tests/dryruns only)
     remat: bool = False                    # rematerialize blocks (big batches)
+    prune_pad: bool = True                 # support-pruned pad-100 blocks (exact)
     chunked_loss: bool = False             # per-sample loss (big batches)
     grad_accum: int = 1                    # microbatches per step (big batches)
     fused_eval: str = "auto"               # serving-kernel eval: auto|on|off

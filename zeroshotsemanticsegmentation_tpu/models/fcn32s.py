@@ -32,6 +32,8 @@ import jax
 import jax.numpy as jnp
 
 from zeroshotsemanticsegmentation_tpu.ops.bilinear import upsample_bilinear_cropped
+from zeroshotsemanticsegmentation_tpu.models.pruned import (
+    NUM_PRUNED_BLOCKS, prunable, run_pruned_blocks)
 
 # FCN-32s geometry constants (reference models.py:43,93-98,147)
 _PAD_CONV1 = 100
@@ -112,6 +114,36 @@ def _conv_nhwc(x, k, padding):
         x, k, (1, 1), padding, dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
+def block_params(mdl, num_blocks: int):
+    """(kernel, bias) pairs for the first `num_blocks` VGG blocks of `mdl`
+    (FCN32s/FCN8s), with nn.Conv-identical param names/shapes — checkpoints,
+    VGG import, and optimizer label trees see no difference."""
+    kbs, in_f = [], 3
+    for bi in range(num_blocks):
+        blk = []
+        for name, features in _VGG_BLOCKS[bi]:
+            f = mdl.width(features)
+            blk.append(_ConvParams(features=f, in_features=in_f,
+                                   param_dtype=mdl.param_dtype, name=name)())
+            in_f = f
+        kbs.append(blk)
+    return kbs
+
+
+def run_blocks_maybe_pruned(mdl, h, packed1: bool):
+    """Run the leading VGG blocks via the support-pruned pad-100 path when
+    enabled/applicable; returns (h, next_block_index)."""
+    in_h, in_w = h.shape[1], h.shape[2]
+    if not (mdl.prune_pad and not packed1 and prunable(in_h, in_w)):
+        return h, 0
+    kbs = block_params(mdl, NUM_PRUNED_BLOCKS)
+    run_pruned = run_pruned_blocks
+    if mdl.remat:
+        # recompute the (now-cheap) pruned blocks in backward
+        run_pruned = jax.checkpoint(run_pruned, static_argnums=(2, 3))
+    return run_pruned(kbs, h, _PAD_CONV1, mdl.dtype), NUM_PRUNED_BLOCKS
+
+
 def run_block1_packed(mdl, x: jnp.ndarray) -> jnp.ndarray:
     """Block 1 (pad-100 conv1_1, conv1_2, ceil max-pool) with width pairs
     packed into channels — numerically equal to the unpacked path (same
@@ -190,9 +222,11 @@ class FCN32s(nn.Module):
     channel_scale: float = 1.0  # <1 shrinks all backbone widths (tests/dryruns)
     remat: bool = False  # rematerialize conv blocks (larger train batches)
     pack_block1: bool = False  # width-pair lane packing for block 1 (exact)
+    prune_pad: bool = True  # support-pruned pad-100 blocks 1-3 (exact)
 
     def width(self, f: int) -> int:
         return max(8, int(f * self.channel_scale))
+
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False,
@@ -228,8 +262,9 @@ class FCN32s(nn.Module):
             # activations instead of storing them (enables ~2x batch)
             run_block = nn.remat(run_block, static_argnums=(2,))
 
-        h = x.astype(self.dtype)
-        for bi in range(len(_VGG_BLOCKS)):
+        h, start_block = run_blocks_maybe_pruned(self, x.astype(self.dtype),
+                                                 packed1)
+        for bi in range(start_block, len(_VGG_BLOCKS)):
             h = run_block(self, h, bi)
 
         h = nn.relu(conv(h, "fc6", width(4096), (7, 7), "VALID"))

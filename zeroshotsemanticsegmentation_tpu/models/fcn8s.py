@@ -28,7 +28,8 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from zeroshotsemanticsegmentation_tpu.models.fcn32s import (
-    _PAD_CONV1, _VGG_BLOCKS, _max_pool_ceil, run_block1_packed)
+    _PAD_CONV1, _VGG_BLOCKS, _max_pool_ceil, run_block1_packed,
+    run_blocks_maybe_pruned)
 from zeroshotsemanticsegmentation_tpu.ops.bilinear import (
     upsample_bilinear_cropped)
 
@@ -45,6 +46,7 @@ class FCN8s(nn.Module):
     channel_scale: float = 1.0
     remat: bool = False  # rematerialize conv blocks (larger train batches)
     pack_block1: bool = False  # width-pair lane packing for block 1 (exact)
+    prune_pad: bool = True  # support-pruned pad-100 blocks 1-3 (exact)
 
     def width(self, f: int) -> int:
         return max(8, int(f * self.channel_scale))
@@ -81,11 +83,14 @@ class FCN8s(nn.Module):
         if self.remat:
             run_block = nn.remat(run_block, static_argnums=(2,))
 
-        pools = []
-        h = x.astype(self.dtype)
-        for bi in range(len(_VGG_BLOCKS)):
+        pools = {}
+        h, start_block = run_blocks_maybe_pruned(self, x.astype(self.dtype),
+                                                 packed1)
+        if start_block:
+            pools[start_block - 1] = h
+        for bi in range(start_block, len(_VGG_BLOCKS)):
             h = run_block(self, h, bi)
-            pools.append(h)
+            pools[bi] = h
         pool3, pool4 = pools[2], pools[3]
 
         h = nn.relu(conv(h, "fc6", width(4096), (7, 7), "VALID"))

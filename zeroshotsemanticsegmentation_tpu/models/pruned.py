@@ -1,0 +1,199 @@
+"""Support-pruned pad-100 VGG blocks — compute only where the data reaches.
+
+The reference FCN-32s geometry pads conv1_1 by 100 (reference models.py:43),
+inflating block 1 to (H+198)^2 activations for an H^2 input (1.9x the pixels
+at 512^2) and block 2/3 proportionally. But everything the pad region
+computes is *data-independent*: outside the input's receptive-field support,
+layer activations equal the network's zero-input response ("frame") — a
+per-channel constant in the interior of the pad region, with a thin boundary
+rim (<= 3 px at pool3) shaped only by distance to the virtual array edge.
+
+This module evaluates blocks 1-3 exactly while touching only the support:
+
+* data path: VALID convs over the support region grown by 1 px per conv,
+  ring-padded with the per-channel zero-input constant c_l (exact, because
+  the ring sits deep inside the pad region — asserted against the rim width);
+  pools run on even-aligned/even-sized arrays, re-aligned with constant pads.
+* constant chain: c_{l+1} = relu(sum_{taps,cin} K * c_l + b), c_0 = 0 — the
+  interior value of the zero-input response at each layer.
+* frame probe: one zero image of ~16^2 (chosen so the virtual pool parity
+  chain matches the real input's: probe ≡ H mod 8) runs through the *plain*
+  pad-100 stack, producing the full boundary-rim pattern at pool3 for ~1% of
+  a batched forward's cost. The pool3 frame for the real virtual size is
+  assembled from the probe by corner/edge/interior expansion (valid because
+  frame values depend only on the distances to the virtual boundary, and the
+  matched parity chain reproduces the ceil-pool padding pattern).
+* materialization: the pruned pool3 support is placed into the assembled
+  frame at its tracked virtual offset; blocks 4-5 + fc6/fc7 then run
+  unchanged, bit-compatible with the plain path.
+
+Net effect at 512^2: blocks 1-3 run at 516^2/262^2/136^2 instead of
+710^2/355^2/178^2 — ~82 GFLOP/img saved of the 389 GFLOP/img forward
+(1.27x fewer FLOPs) and ~45% less HBM traffic in the layers that were
+bandwidth-bound, with identical numerics (same multiplies on the support;
+the ring constants differ from the conv-computed values only by fp
+reduction order). Gradients are exact automatically: autodiff through the
+probe/frame reproduces the true parameter gradients of the pad region.
+
+The same trick cannot reach block 4-5: by pool4 the support + rim covers
+nearly the whole virtual array (45^2 with ~38^2 support and 3 px rim), so
+the residual savings do not pay for the frame bookkeeping there.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+# number of leading VGG blocks this runner covers (through pool3)
+NUM_PRUNED_BLOCKS = 3
+# zero-input frame rim width at pool3 (3 convs of block 3 -> rim 5, pooled
+# to ceil(5/2) = 3); asserted against probe/ring geometry below
+_POOL3_RIM = 3
+_PROBE_BASE = 16  # probe side; + (input % 8) keeps the pool parity chain
+_MIN_SIDE = 16    # below this the virtual array can undercut the probe's
+
+
+def _conv_valid(x, k):
+    return jax.lax.conv_general_dilated(
+        x, k, (1, 1), ((0, 0), (0, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def _padc(a, c, top, bottom, left, right):
+    """Pad spatial dims with the per-channel constant vector c — built by
+    concatenation (NOT pad(a-c)+c, which would perturb interior values)."""
+    b, h, w, ch = a.shape
+    c = c.astype(a.dtype)
+
+    def band(hh, ww):
+        return jnp.broadcast_to(c, (b, hh, ww, ch))
+
+    if left or right:
+        parts = ([band(h, left)] if left else []) + [a] + \
+            ([band(h, right)] if right else [])
+        a = jnp.concatenate(parts, axis=2) if len(parts) > 1 else a
+        w = w + left + right
+    if top or bottom:
+        parts = ([band(top, w)] if top else []) + [a] + \
+            ([band(bottom, w)] if bottom else [])
+        a = jnp.concatenate(parts, axis=1) if len(parts) > 1 else a
+    return a
+
+
+def _expand_dim(p, axis, out_len):
+    """Stretch a frame along `axis` from n to out_len by repeating the
+    middle element — exact when the frame is constant beyond the rim on
+    both sides of the middle (rim <= n//2 and rim <= n - n//2 - 1)."""
+    n = p.shape[axis]
+    if out_len == n:
+        return p
+    assert out_len > n, (out_len, n)
+    m = n // 2
+    head = jax.lax.slice_in_dim(p, 0, m, axis=axis)
+    mid = jax.lax.slice_in_dim(p, m, m + 1, axis=axis)
+    tail = jax.lax.slice_in_dim(p, m + 1, n, axis=axis)
+    reps = out_len - (n - 1)
+    mid_shape = list(mid.shape)
+    mid_shape[axis] = reps
+    mid = jnp.broadcast_to(mid, tuple(mid_shape))
+    return jnp.concatenate([head, mid, tail], axis=axis)
+
+
+def assemble_frame(probe, out_h, out_w):
+    """(ph, pw, C) pool3 zero-input response -> (out_h, out_w, C) frame."""
+    assert min(probe.shape[0], probe.shape[1]) // 2 >= _POOL3_RIM
+    return _expand_dim(_expand_dim(probe, 0, out_h), 1, out_w)
+
+
+def probe_side(full_side: int) -> int:
+    """Probe side length whose virtual pool parity chain matches the
+    input's (identical mod 8 -> identical ceil-pad pattern at pools 1-3)."""
+    return _PROBE_BASE + full_side % 8
+
+
+def prunable(in_h: int, in_w: int) -> bool:
+    return min(in_h, in_w) >= _MIN_SIDE
+
+
+def run_pruned_blocks(kbs, x, pad1: int, dtype):
+    """Run VGG blocks 1-3 (conv/relu stacks + 2x2 ceil pools) of the pad-100
+    geometry on the receptive-field support only.
+
+    Args:
+      kbs: [[(kernel, bias), ...] per block] — fp32 params, nn.Conv shapes.
+      x: (B, H, W, 3) input image batch (pre-pad).
+      pad1: conv1_1's big pad (reference models.py:43 — 100).
+      dtype: compute dtype.
+
+    Returns the *full* virtual pool3 array (B, ceil3(H+2*pad1-2), ..., C),
+    numerically equal to the plain pad-100 path.
+    """
+    B, H, W, _ = x.shape
+
+    def plain_stack(h):
+        for bi, blk in enumerate(kbs):
+            for ci, (k, b) in enumerate(blk):
+                pad = pad1 if (bi == 0 and ci == 0) else 1
+                h = nn.relu(jax.lax.conv_general_dilated(
+                    h, k.astype(dtype), (1, 1), ((pad, pad), (pad, pad)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                    + b.astype(dtype))
+            ph = (-h.shape[1]) % 2
+            pw = (-h.shape[2]) % 2
+            h = nn.max_pool(h, (2, 2), strides=(2, 2),
+                            padding=((0, ph), (0, pw)))
+        return h
+
+    # zero-input frame probe (batch-size 1; ~1% of a batched block 1-3 cost)
+    probe = plain_stack(
+        jnp.zeros((1, probe_side(H), probe_side(W), 3), dtype))[0]
+
+    a = x.astype(dtype)
+    c = jnp.zeros((3,), dtype)
+    # s0 = coordinate of a[0, 0] on the current layer's full (virtual)
+    # output grid. A ref conv with pad P, evaluated as our pad-q VALID conv,
+    # maps s0 -> s0 - q + P: conv1_1 (P=pad1, q=2) lands the support at
+    # pad1 - 2 on its (H + 2*pad1 - 2)-wide output; pad-1 convs shift by -1.
+    s0 = 0
+    vh, vw = H + 2 * pad1 - 2, W + 2 * pad1 - 2
+    rim = 0                         # frame rim width at the current layer
+    for bi, blk in enumerate(kbs):
+        for ci, (k, b) in enumerate(blk):
+            first = bi == 0 and ci == 0
+            # ring-pad by 2 with the current constant: +1 halo for the VALID
+            # conv, +1 so the support (which grows by 1) is fully computed
+            assert first or (
+                s0 - 2 >= rim and s0 + a.shape[1] + 2 + rim <= vh
+                and s0 + a.shape[2] + 2 + rim <= vw), (bi, ci, s0, rim)
+            a = _padc(a, c, 2, 2, 2, 2)
+            a = nn.relu(_conv_valid(a, k.astype(dtype)) + b.astype(dtype))
+            s0 += (pad1 - 2) if first else -1
+            # interior zero-input response: relu(sum_taps K c + b); fp32
+            # accumulation mirrors the MXU conv (reduction order aside)
+            c = nn.relu(jnp.einsum("hwio,i->o", k.astype(jnp.float32),
+                                   c.astype(jnp.float32)).astype(dtype)
+                        + b.astype(dtype))
+            if not first:
+                rim += 1  # conv1_1's big pad is part of the virtual conv
+        # 2x2/2 pool on an even-aligned, even-sized array (constant pads are
+        # exact: they sit outside the support and beyond the rim)
+        if s0 % 2:
+            assert s0 - 1 >= rim
+            a = _padc(a, c, 1, 0, 1, 0)
+            s0 -= 1
+        padb, padr = a.shape[1] % 2, a.shape[2] % 2
+        if padb or padr:
+            assert s0 + a.shape[1] + padb + rim <= vh
+            assert s0 + a.shape[2] + padr + rim <= vw
+            a = _padc(a, c, 0, padb, 0, padr)
+        a = nn.max_pool(a, (2, 2), strides=(2, 2))
+        s0 //= 2
+        vh, vw = -(-vh // 2), -(-vw // 2)
+        rim = -(-rim // 2)
+    assert rim <= _POOL3_RIM, rim
+
+    frame = assemble_frame(probe, vh, vw)
+    full = jnp.broadcast_to(frame[None], (B,) + frame.shape)
+    return jax.lax.dynamic_update_slice(full, a, (0, s0, s0, 0))

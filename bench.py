@@ -23,6 +23,7 @@ on this platform: per-call RPC latency (~30 ms synchronized) and result-dedup
 of repeated identical calls, which can fake arbitrarily high throughput.
 """
 
+import functools
 import json
 import os.path as osp
 import sys
@@ -34,10 +35,10 @@ if _REPO_ROOT not in sys.path:
 
 BASELINE_MP_S = 50.0
 H = W = 512
-BATCH = 32  # best measured batch on v5e (84 vs 78 MP/s at 16)
+BATCH = 64  # best measured batch on v5e with prune_pad (112 vs 110 MP/s @32)
 CHAIN = 8   # model evaluations per dispatch
 
-TRAIN_BATCH = 16
+TRAIN_BATCH = 24  # best measured on v5e with prune_pad (102 vs 98 img/s @16)
 TRAIN_CHAIN = 4
 # reference-faithful FLOPs: 360 GFLOP fwd/img at 512^2 (pad-100 geometry);
 # backward ~2x forward => ~1080 GFLOP/img trained
@@ -140,7 +141,9 @@ def bench_train() -> dict:
                         step=jnp.zeros((), jnp.int32))
     key = jax.random.PRNGKey(0)
 
-    @jax.jit
+    # donated state: without it the loop carries two full optimizer states
+    # and B=24's block-1 backward transients no longer fit
+    @functools.partial(jax.jit, donate_argnums=0)
     def chained(state, batch):
         def body(_, carry):
             st, acc = carry

@@ -102,13 +102,18 @@ def test_pruned_bf16_close_to_plain_bf16():
     np.testing.assert_allclose(a, b, rtol=0, atol=0.03 * scale)
 
 
-def test_prunable_gate_and_probe_parity():
+def test_prunable_gate_plan_and_probe_parity():
+    from zeroshotsemanticsegmentation_tpu.models.pruned import plan_blocks
     assert not prunable(_MIN_SIDE - 1, 512)
     assert prunable(_MIN_SIDE, _MIN_SIDE)
-    # probe keeps the ceil-pool parity chain: probe ≡ full (mod 8)
+    assert not plan_blocks(_MIN_SIDE - 1, 512, 100, 4)
+    # the production geometries all support the full 4-block pruning
+    for side in (512, 480, 640):
+        assert plan_blocks(side, side, 100, 4)
+    # probe keeps the ceil-pool parity chain: probe ≡ full (mod 2^blocks)
     for side in (512, 513, 518, 70):
-        assert probe_side(side) % 8 == (side + 198) % 8 - 198 % 8 or \
-            (probe_side(side) - side) % 8 == 0
+        for nb in (3, 4):
+            assert (probe_side(side, nb) - side) % (1 << nb) == 0
 
 
 def test_pruned_tiny_input_falls_back():

@@ -33,7 +33,8 @@ import jax.numpy as jnp
 
 from zeroshotsemanticsegmentation_tpu.ops.bilinear import upsample_bilinear_cropped
 from zeroshotsemanticsegmentation_tpu.models.pruned import (
-    NUM_PRUNED_BLOCKS, prunable, run_pruned_blocks)
+    NUM_PRUNED_BLOCKS, NUM_PRUNED_BLOCKS_SKIP, plan_blocks, prunable,
+    run_pruned_blocks)
 
 # FCN-32s geometry constants (reference models.py:43,93-98,147)
 _PAD_CONV1 = 100
@@ -130,18 +131,25 @@ def block_params(mdl, num_blocks: int):
     return kbs
 
 
-def run_blocks_maybe_pruned(mdl, h, packed1: bool):
+def run_blocks_maybe_pruned(mdl, h, packed1: bool,
+                            max_blocks: int = NUM_PRUNED_BLOCKS):
     """Run the leading VGG blocks via the support-pruned pad-100 path when
-    enabled/applicable; returns (h, next_block_index)."""
+    enabled and statically valid for this geometry (plan_blocks); falls back
+    max_blocks -> ... -> plain. Returns (h, next_block_index)."""
     in_h, in_w = h.shape[1], h.shape[2]
     if not (mdl.prune_pad and not packed1 and prunable(in_h, in_w)):
         return h, 0
-    kbs = block_params(mdl, NUM_PRUNED_BLOCKS)
+    for nb in range(max_blocks, 2, -1):
+        if plan_blocks(in_h, in_w, _PAD_CONV1, nb):
+            break
+    else:
+        return h, 0
+    kbs = block_params(mdl, nb)
     run_pruned = run_pruned_blocks
     if mdl.remat:
         # recompute the (now-cheap) pruned blocks in backward
         run_pruned = jax.checkpoint(run_pruned, static_argnums=(2, 3))
-    return run_pruned(kbs, h, _PAD_CONV1, mdl.dtype), NUM_PRUNED_BLOCKS
+    return run_pruned(kbs, h, _PAD_CONV1, mdl.dtype), nb
 
 
 def run_block1_packed(mdl, x: jnp.ndarray) -> jnp.ndarray:

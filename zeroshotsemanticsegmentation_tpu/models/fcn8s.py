@@ -84,8 +84,13 @@ class FCN8s(nn.Module):
             run_block = nn.remat(run_block, static_argnums=(2,))
 
         pools = {}
-        h, start_block = run_blocks_maybe_pruned(self, x.astype(self.dtype),
-                                                 packed1)
+        # max 3 pruned blocks: the skip connection taps the full pool3 array,
+        # which is exactly what the 3-block runner materializes
+        from zeroshotsemanticsegmentation_tpu.models.pruned import (
+            NUM_PRUNED_BLOCKS_SKIP)
+        h, start_block = run_blocks_maybe_pruned(
+            self, x.astype(self.dtype), packed1,
+            max_blocks=NUM_PRUNED_BLOCKS_SKIP)
         if start_block:
             pools[start_block - 1] = h
         for bi in range(start_block, len(_VGG_BLOCKS)):

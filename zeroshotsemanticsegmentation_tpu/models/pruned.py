@@ -2,42 +2,50 @@
 
 The reference FCN-32s geometry pads conv1_1 by 100 (reference models.py:43),
 inflating block 1 to (H+198)^2 activations for an H^2 input (1.9x the pixels
-at 512^2) and block 2/3 proportionally. But everything the pad region
+at 512^2) and blocks 2-4 proportionally. But everything the pad region
 computes is *data-independent*: outside the input's receptive-field support,
 layer activations equal the network's zero-input response ("frame") — a
 per-channel constant in the interior of the pad region, with a thin boundary
-rim (<= 3 px at pool3) shaped only by distance to the virtual array edge.
+rim (<= 3 px after any pool) shaped only by distance to the virtual edge.
 
-This module evaluates blocks 1-3 exactly while touching only the support:
+This module evaluates the leading VGG blocks exactly while touching only the
+support:
 
 * data path: VALID convs over the support region grown by 1 px per conv,
   ring-padded with the per-channel zero-input constant c_l (exact, because
-  the ring sits deep inside the pad region — asserted against the rim width);
-  pools run on even-aligned/even-sized arrays, re-aligned with constant pads.
+  the ring stays `rim` away from the virtual boundary — checked statically
+  per geometry by `plan_blocks`); pools run on even-aligned/even-sized
+  arrays, re-aligned with constant pads.
 * constant chain: c_{l+1} = relu(sum_{taps,cin} K * c_l + b), c_0 = 0 — the
   interior value of the zero-input response at each layer.
-* frame probe: one zero image of ~16^2 (chosen so the virtual pool parity
-  chain matches the real input's: probe ≡ H mod 8) runs through the *plain*
-  pad-100 stack, producing the full boundary-rim pattern at pool3 for ~1% of
-  a batched forward's cost. The pool3 frame for the real virtual size is
-  assembled from the probe by corner/edge/interior expansion (valid because
-  frame values depend only on the distances to the virtual boundary, and the
-  matched parity chain reproduces the ceil-pool padding pattern).
-* materialization: the pruned pool3 support is placed into the assembled
-  frame at its tracked virtual offset; blocks 4-5 + fc6/fc7 then run
-  unchanged, bit-compatible with the plain path.
+* frame probe: one zero image of ~16^2..31^2 (chosen so the virtual ceil-pool
+  parity chain matches the real input's: probe ≡ H mod 2^num_blocks) runs
+  through the *plain* pad-100 stack, producing the full boundary-rim pattern
+  at the materialization pool for ~1-2% of a batched forward's cost. The
+  frame for the real virtual size is assembled from the probe by
+  corner/edge/interior expansion (valid because frame values depend only on
+  the distances to the virtual boundary, and the matched parity chain
+  reproduces the ceil-pool padding pattern).
+* materialization: the pruned pool support is placed into the assembled
+  frame at its tracked virtual offset; the remaining blocks + fc6/fc7 then
+  run unchanged, bit-compatible with the plain path.
 
-Net effect at 512^2: blocks 1-3 run at 516^2/262^2/136^2 instead of
-710^2/355^2/178^2 — ~82 GFLOP/img saved of the 389 GFLOP/img forward
-(1.27x fewer FLOPs) and ~45% less HBM traffic in the layers that were
-bandwidth-bound, with identical numerics (same multiplies on the support;
-the ring constants differ from the conv-computed values only by fp
-reduction order). Gradients are exact automatically: autodiff through the
-probe/frame reproduces the true parameter gradients of the pad region.
+Net effect at 512^2 with 4 pruned blocks: blocks 1-4 run at
+516^2/262^2/136^2/73^2 instead of 710^2/355^2/178^2/89^2 — ~114 GFLOP/img
+saved of the 389 GFLOP/img forward (1.4x fewer FLOPs) and ~45% less HBM
+traffic in the layers that were bandwidth-bound, with identical numerics
+(same multiplies on the support; the ring constants differ from the
+conv-computed values only by fp reduction order). Gradients are exact
+automatically: autodiff through the probe/frame reproduces the true
+parameter gradients of the pad region.
 
-The same trick cannot reach block 4-5: by pool4 the support + rim covers
-nearly the whole virtual array (45^2 with ~38^2 support and 3 px rim), so
-the residual savings do not pay for the frame bookkeeping there.
+Block 4's ring margins are tight (the support + rim nearly fills the 45^2
+virtual array) and depend on the input size's parity chain, so `plan_blocks`
+verifies every ring/alignment constraint with pure-int arithmetic before the
+path is used; callers fall back 4 -> 3 -> plain. Block 5 is never prunable:
+its ring would start inside the pool4 rim. FCN-8s stays at 3 blocks — its
+skip connection needs the full pool3 array, which is exactly what the
+3-block runner materializes.
 """
 
 from __future__ import annotations
@@ -46,13 +54,16 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-# number of leading VGG blocks this runner covers (through pool3)
-NUM_PRUNED_BLOCKS = 3
-# zero-input frame rim width at pool3 (3 convs of block 3 -> rim 5, pooled
-# to ceil(5/2) = 3); asserted against probe/ring geometry below
-_POOL3_RIM = 3
-_PROBE_BASE = 16  # probe side; + (input % 8) keeps the pool parity chain
+# preferred / FCN-8s-compatible pruning depth (through pool4 / pool3)
+NUM_PRUNED_BLOCKS = 4
+NUM_PRUNED_BLOCKS_SKIP = 3
+# zero-input frame rim width after pool3 (conv rims 3,4,5 -> pooled 3) and
+# after pool4 (3 -> 4,5,6 -> pooled 3)
+_FRAME_RIM = 3
+_PROBE_BASE = 16  # probe side; + (input % 2^blocks) keeps the parity chain
 _MIN_SIDE = 16    # below this the virtual array can undercut the probe's
+# convs per block of the VGG16 stack (blocks 1-4)
+_BLOCK_CONVS = (2, 2, 3, 3)
 
 
 def _conv_valid(x, k):
@@ -102,15 +113,64 @@ def _expand_dim(p, axis, out_len):
 
 
 def assemble_frame(probe, out_h, out_w):
-    """(ph, pw, C) pool3 zero-input response -> (out_h, out_w, C) frame."""
-    assert min(probe.shape[0], probe.shape[1]) // 2 >= _POOL3_RIM
+    """(ph, pw, C) pooled zero-input response -> (out_h, out_w, C) frame."""
+    assert min(probe.shape[0], probe.shape[1]) // 2 >= _FRAME_RIM
     return _expand_dim(_expand_dim(probe, 0, out_h), 1, out_w)
 
 
-def probe_side(full_side: int) -> int:
-    """Probe side length whose virtual pool parity chain matches the
-    input's (identical mod 8 -> identical ceil-pad pattern at pools 1-3)."""
-    return _PROBE_BASE + full_side % 8
+def probe_side(full_side: int, num_blocks: int) -> int:
+    """Probe side length whose virtual ceil-pool parity chain matches the
+    input's through `num_blocks` pools (identical mod 2^num_blocks)."""
+    return _PROBE_BASE + full_side % (1 << num_blocks)
+
+
+def plan_blocks(in_h: int, in_w: int, pad1: int, num_blocks: int):
+    """Statically verify every ring/alignment/probe constraint of the pruned
+    path for this geometry (pure-int simulation of `run_pruned_blocks`).
+
+    Returns True when the `num_blocks`-deep pruned path is exact here.
+    """
+    if min(in_h, in_w) < _MIN_SIDE or num_blocks > len(_BLOCK_CONVS):
+        return False
+    s0, rim = 0, 0
+    sz = [in_h, in_w]
+    v = [in_h + 2 * pad1 - 2, in_w + 2 * pad1 - 2]
+    pv = [probe_side(in_h, num_blocks) + 2 * pad1 - 2,
+          probe_side(in_w, num_blocks) + 2 * pad1 - 2]
+    for bi in range(num_blocks):
+        for ci in range(_BLOCK_CONVS[bi]):
+            first = bi == 0 and ci == 0
+            if not first and not (
+                    s0 - 2 >= rim and s0 + sz[0] + 2 + rim <= v[0]
+                    and s0 + sz[1] + 2 + rim <= v[1]):
+                return False
+            sz = [s + 2 for s in sz]
+            s0 += (pad1 - 2) if first else -1
+            if not first:
+                rim += 1
+        if s0 % 2:
+            if s0 - 1 < rim:
+                return False
+            s0 -= 1
+            sz = [s + 1 for s in sz]
+        for d in range(2):
+            if sz[d] % 2:
+                if s0 + sz[d] + 1 + rim > v[d]:
+                    return False
+                sz[d] += 1
+        s0 //= 2
+        sz = [s // 2 for s in sz]
+        v = [-(-x // 2) for x in v]
+        pv = [-(-x // 2) for x in pv]
+        rim = -(-rim // 2)
+    # frame assembly: probe large enough for the rim, virtual >= probe
+    if rim > _FRAME_RIM:
+        return False
+    for d in range(2):
+        if min(pv[d] // 2, pv[d] - pv[d] // 2 - 1) < _FRAME_RIM \
+                or v[d] < pv[d]:
+            return False
+    return True
 
 
 def prunable(in_h: int, in_w: int) -> bool:
@@ -118,8 +178,8 @@ def prunable(in_h: int, in_w: int) -> bool:
 
 
 def run_pruned_blocks(kbs, x, pad1: int, dtype):
-    """Run VGG blocks 1-3 (conv/relu stacks + 2x2 ceil pools) of the pad-100
-    geometry on the receptive-field support only.
+    """Run the first len(kbs) VGG blocks (conv/relu stacks + 2x2 ceil pools)
+    of the pad-100 geometry on the receptive-field support only.
 
     Args:
       kbs: [[(kernel, bias), ...] per block] — fp32 params, nn.Conv shapes.
@@ -127,10 +187,12 @@ def run_pruned_blocks(kbs, x, pad1: int, dtype):
       pad1: conv1_1's big pad (reference models.py:43 — 100).
       dtype: compute dtype.
 
-    Returns the *full* virtual pool3 array (B, ceil3(H+2*pad1-2), ..., C),
-    numerically equal to the plain pad-100 path.
+    Returns the *full* virtual pool{len(kbs)} array, numerically equal to
+    the plain pad-100 path. Callers must have validated the geometry with
+    `plan_blocks` first.
     """
     B, H, W, _ = x.shape
+    num_blocks = len(kbs)
 
     def plain_stack(h):
         for bi, blk in enumerate(kbs):
@@ -146,9 +208,10 @@ def run_pruned_blocks(kbs, x, pad1: int, dtype):
                             padding=((0, ph), (0, pw)))
         return h
 
-    # zero-input frame probe (batch-size 1; ~1% of a batched block 1-3 cost)
-    probe = plain_stack(
-        jnp.zeros((1, probe_side(H), probe_side(W), 3), dtype))[0]
+    # zero-input frame probe (batch-size 1; ~1-2% of a batched block cost)
+    probe = plain_stack(jnp.zeros(
+        (1, probe_side(H, num_blocks), probe_side(W, num_blocks), 3),
+        dtype))[0]
 
     a = x.astype(dtype)
     c = jnp.zeros((3,), dtype)
@@ -192,7 +255,7 @@ def run_pruned_blocks(kbs, x, pad1: int, dtype):
         s0 //= 2
         vh, vw = -(-vh // 2), -(-vw // 2)
         rim = -(-rim // 2)
-    assert rim <= _POOL3_RIM, rim
+    assert rim <= _FRAME_RIM, rim
 
     frame = assemble_frame(probe, vh, vw)
     full = jnp.broadcast_to(frame[None], (B,) + frame.shape)

@@ -17,6 +17,12 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: the suite is compile-dominated on this 1-core
+# host; cached programs cut a full run by several minutes. Keyed by HLO
+# hash, so stale entries are never reused for changed programs.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/zss_jax_cache_cpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 assert jax.devices()[0].platform == "cpu", "tests must run on CPU"
 assert len(jax.devices()) == 8, "tests expect 8 virtual CPU devices"

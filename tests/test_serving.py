@@ -56,3 +56,19 @@ def test_predictor_on_mesh(rng):
                                          mesh=mesh)
     got = np.asarray(predict_sharded(imgs))
     assert (got != want).mean() < 1e-4
+
+
+def test_predictor_spatial_parallel(rng):
+    """SP serving: image height sharded over 'data' (huge-image, tiny-batch
+    case); GSPMD halo exchange must reproduce the single-device labels."""
+    from zeroshotsemanticsegmentation_tpu.parallel import make_mesh
+    model, params, embed = build(rng)
+    predict = make_szn_predictor(model, params, embed, [2, 5])
+    imgs = rng.randn(1, 64, 96, 3).astype(np.float32) * 40
+    want = np.asarray(predict(jnp.asarray(imgs)))
+    mesh = make_mesh(4, 2)
+    predict_sp = make_szn_predictor(model, params, embed, [2, 5],
+                                    mesh=mesh, spatial=True)
+    got = np.asarray(predict_sp(imgs))
+    assert got.shape == want.shape
+    assert (got != want).mean() < 1e-4

@@ -22,12 +22,18 @@ from zeroshotsemanticsegmentation_tpu.ops.szn_fused import (
 
 
 def make_szn_predictor(model, params, embeddings, unseen_classes,
-                       *, mesh=None):
+                       *, mesh=None, spatial=False):
     """Returns predict(images (B,H,W,3) float32 BGR-mean-sub) -> (B,H,W) int32.
 
     `unseen_classes`: class ids routed to the unseen partition (the trained
     seenmask head gates per pixel). With `mesh`, batches shard over 'data'
     and fc6/fc7 over 'model' (see parallel.mesh).
+
+    `spatial=True` (requires `mesh`) shards the image *height* over the
+    'data' axis instead of the batch — spatial parallelism for huge images
+    at tiny batch (e.g. one panorama that exceeds a single chip's HBM).
+    GSPMD inserts the conv halo exchanges / regathers; outputs are
+    identical to the batch-sharded and single-device paths.
     """
     embed = jnp.asarray(embeddings, jnp.float32)
     unseen_vec = jnp.asarray(
@@ -59,10 +65,11 @@ def make_szn_predictor(model, params, embeddings, unseen_classes,
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    spec = (P(None, "data", None, None) if spatial
+            else P("data", None, None, None))
+
     def predict_sharded(images):
-        images = jax.device_put(
-            np.asarray(images),
-            NamedSharding(mesh, P("data", None, None, None)))
+        images = jax.device_put(np.asarray(images), NamedSharding(mesh, spec))
         return _predict(params, embed, unseen_vec, images)
 
     return predict_sharded

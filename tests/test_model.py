@@ -216,50 +216,3 @@ def test_remat_preserves_params_and_outputs(rng):
         g = jax.grad(loss)(vb["params"])
         assert all(np.isfinite(np.asarray(l)).all()
                    for l in jax.tree_util.tree_leaves(g))
-
-
-def test_packed_block1_matches_unpacked(rng):
-    """pack_block1: identical param tree, numerically equal outputs and
-    grads (same multiplies; conv-internal reduction order aside) for both
-    architectures; odd input widths fall back to the plain path."""
-    from zeroshotsemanticsegmentation_tpu.models import FCN8s
-    x = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32))
-    for cls in (FCN32s, FCN8s):
-        plain = cls(num_classes=EMBED_DIM, channel_scale=1 / 16,
-                    pack_block1=False)
-        packed = cls(num_classes=EMBED_DIM, channel_scale=1 / 16,
-                     pack_block1=True)
-        vp = plain.init(jax.random.PRNGKey(0), x, mode="both")
-        vq = packed.init(jax.random.PRNGKey(0), x, mode="both")
-        assert (jax.tree_util.tree_structure(vp) ==
-                jax.tree_util.tree_structure(vq))
-        for a, b in zip(jax.tree_util.tree_leaves(vp),
-                        jax.tree_util.tree_leaves(vq)):
-            assert a.shape == b.shape
-        f0, s0 = plain.apply(vp, x, mode="both")
-        f1, s1 = packed.apply(vp, x, mode="both")  # same params
-        np.testing.assert_allclose(np.asarray(f1), np.asarray(f0),
-                                   rtol=1e-4, atol=1e-4)
-        np.testing.assert_allclose(np.asarray(s1), np.asarray(s0),
-                                   rtol=1e-4, atol=1e-4)
-
-        def loss(params, model):
-            return jnp.sum(model.apply({"params": params}, x,
-                                       mode="fcn") ** 2)
-
-        g0 = jax.grad(loss)(vp["params"], plain)
-        g1 = jax.grad(loss)(vp["params"], packed)
-        for (ka, a), (kb, b) in zip(
-                jax.tree_util.tree_leaves_with_path(g0),
-                jax.tree_util.tree_leaves_with_path(g1)):
-            scale = max(float(np.max(np.abs(np.asarray(a)))), 1e-12)
-            np.testing.assert_allclose(
-                np.asarray(b), np.asarray(a), rtol=1e-3,
-                atol=1e-4 * scale, err_msg=f"grad mismatch at {ka}")
-
-    # odd width: packed path must transparently fall back
-    x_odd = jnp.asarray(rng.randn(1, 64, 63, 3).astype(np.float32))
-    packed = FCN32s(num_classes=EMBED_DIM, channel_scale=1 / 16)
-    v = packed.init(jax.random.PRNGKey(0), x_odd, mode="fcn")
-    out = packed.apply(v, x_odd, mode="fcn")
-    assert out.shape == (1, 64, 63, EMBED_DIM)

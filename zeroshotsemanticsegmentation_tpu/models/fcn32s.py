@@ -55,9 +55,9 @@ _VGG_BLOCKS = (
 class _ConvParams(nn.Module):
     """Bare 3x3 conv parameters with nn.Conv's exact shapes and initializers.
 
-    Used by the packed block-1 path so its param tree (conv1_1/conv1_2 with
-    HWIO kernel + bias) is bit-compatible with the nn.Conv modules of the
-    unpacked path — checkpoints, VGG import, and optimizer label trees see no
+    Used by the support-pruned path so its param tree (convN_M with HWIO
+    kernel + bias) is bit-compatible with the nn.Conv modules of the plain
+    path — checkpoints, VGG import, and optimizer label trees see no
     difference.
     """
 
@@ -73,41 +73,6 @@ class _ConvParams(nn.Module):
         b = self.param("bias", nn.initializers.zeros_init(),
                        (self.features,), self.param_dtype)
         return k, b
-
-
-def _pack_kernel_valid(k: jnp.ndarray) -> jnp.ndarray:
-    """(3,3,ci,co) -> (3,2,2ci,2co) for a VALID 3x3 conv over width-paired
-    input (packed channel layout [even ci | odd ci] / [even co | odd co]).
-
-    Output pair O holds original outputs o ∈ {2O, 2O+1} whose width windows
-    cover input columns {O, O+1}: even-out taps (0,even)(0,odd)(1,even) =
-    K[:,0..2]; odd-out taps (0,odd)(1,even)(1,odd) = K[:,0..2].
-    """
-    z = jnp.zeros_like(k[:, 0])  # (3, ci, co)
-    even = jnp.stack([jnp.concatenate([k[:, 0], k[:, 1]], axis=1),
-                      jnp.concatenate([k[:, 2], z], axis=1)], axis=1)
-    odd = jnp.stack([jnp.concatenate([z, k[:, 0]], axis=1),
-                     jnp.concatenate([k[:, 1], k[:, 2]], axis=1)], axis=1)
-    return jnp.concatenate([even, odd], axis=-1)
-
-
-def _pack_kernel_same(k: jnp.ndarray) -> jnp.ndarray:
-    """(3,3,ci,co) -> (3,3,2ci,2co) for a SAME 3x3 conv in packed space.
-
-    Even-out o=2O reads {2O-1, 2O, 2O+1} = (O-1,odd),(O,even),(O,odd);
-    odd-out o=2O+1 reads (O,even),(O,odd),(O+1,even). Structured zeros keep
-    it exact — the MXU cost doubles but lane utilization more than doubles
-    (measured on v5e: 3x3x64x64 @ 710² runs at 16% MXU, the packed
-    3x3x128x128 @ 710x355 at 44% — 1.39x faster despite 2x FLOPs).
-    """
-    z = jnp.zeros_like(k[:, 0])
-    even = jnp.stack([jnp.concatenate([z, k[:, 0]], axis=1),
-                      jnp.concatenate([k[:, 1], k[:, 2]], axis=1),
-                      jnp.concatenate([z, z], axis=1)], axis=1)
-    odd = jnp.stack([jnp.concatenate([z, z], axis=1),
-                     jnp.concatenate([k[:, 0], k[:, 1]], axis=1),
-                     jnp.concatenate([k[:, 2], z], axis=1)], axis=1)
-    return jnp.concatenate([even, odd], axis=-1)
 
 
 def _conv_nhwc(x, k, padding):
@@ -131,13 +96,12 @@ def block_params(mdl, num_blocks: int):
     return kbs
 
 
-def run_blocks_maybe_pruned(mdl, h, packed1: bool,
-                            max_blocks: int = NUM_PRUNED_BLOCKS):
+def run_blocks_maybe_pruned(mdl, h, max_blocks: int = NUM_PRUNED_BLOCKS):
     """Run the leading VGG blocks via the support-pruned pad-100 path when
     enabled and statically valid for this geometry (plan_blocks); falls back
     max_blocks -> ... -> plain. Returns (h, next_block_index)."""
     in_h, in_w = h.shape[1], h.shape[2]
-    if not (mdl.prune_pad and not packed1 and prunable(in_h, in_w)):
+    if not (mdl.prune_pad and prunable(in_h, in_w)):
         return h, 0
     for nb in range(max_blocks, 2, -1):
         if plan_blocks(in_h, in_w, _PAD_CONV1, nb):
@@ -150,53 +114,6 @@ def run_blocks_maybe_pruned(mdl, h, packed1: bool,
         # recompute the (now-cheap) pruned blocks in backward
         run_pruned = jax.checkpoint(run_pruned, static_argnums=(2, 3))
     return run_pruned(kbs, h, _PAD_CONV1, mdl.dtype), nb
-
-
-def run_block1_packed(mdl, x: jnp.ndarray) -> jnp.ndarray:
-    """Block 1 (pad-100 conv1_1, conv1_2, ceil max-pool) with width pairs
-    packed into channels — numerically equal to the unpacked path (same
-    multiplies, conv-internal reduction order aside).
-
-    Why: block 1's C=64 fills only half of the 128 VPU/MXU lanes and the
-    pad-100 geometry makes it ~1/3 of the forward pass at <20% MXU
-    efficiency. Packing two width-neighbors into the channel dim doubles
-    lane occupancy; the 2x2 pool then consumes the packed pair, so block 2
-    receives the ordinary unpacked (B, ceil(H1/2), W1/2, 64) tensor.
-    Requires even input width (pad-100 keeps parity); callers fall back to
-    the plain path otherwise.
-
-    Status (v5e, 2026-08): the isolated conv wins 1.39x (16% -> 44% MXU),
-    but inside the full jitted forward XLA's own layout/fusion choices
-    absorb the gain (51.7 vs 52.8 ms/batch at B=16 512^2) — kept as an
-    exactness-tested opt-in (pack_block1=True) for other TPU generations,
-    OFF by default.
-    """
-    c1 = mdl.width(64)
-    k1, b1 = _ConvParams(features=c1, in_features=3,
-                         param_dtype=mdl.param_dtype, name="conv1_1")()
-    k2, b2 = _ConvParams(features=c1, in_features=c1,
-                         param_dtype=mdl.param_dtype, name="conv1_2")()
-    dt = mdl.dtype
-    xp = jnp.pad(x.astype(dt), ((0, 0), (_PAD_CONV1, _PAD_CONV1),
-                                (_PAD_CONV1, _PAD_CONV1), (0, 0)))
-    b_, hp, wp, _ = xp.shape
-    assert wp % 2 == 0, "packed block 1 requires even padded width"
-    xpk = xp.reshape(b_, hp, wp // 2, 6)
-
-    h = _conv_nhwc(xpk, _pack_kernel_valid(k1).astype(dt),
-                   ((0, 0), (0, 0)))
-    h = nn.relu(h + jnp.concatenate([b1, b1]).astype(dt))
-    h = _conv_nhwc(h, _pack_kernel_same(k2).astype(dt), ((1, 1), (1, 1)))
-    h = nn.relu(h + jnp.concatenate([b2, b2]).astype(dt))
-
-    # 2x2 ceil max-pool in packed space: the width pair is the channel split
-    bb, h1, w2, _ = h.shape
-    h = jnp.max(h.reshape(bb, h1, w2, 2, c1), axis=3)
-    if h1 % 2:  # ceil mode: trailing row forms its own window
-        h = jnp.pad(h, ((0, 0), (0, 1), (0, 0), (0, 0)),
-                    constant_values=jnp.finfo(dt).min)
-        h1 += 1
-    return jnp.max(h.reshape(bb, h1 // 2, 2, w2, c1), axis=2)
 
 
 def _max_pool_ceil(x: jnp.ndarray) -> jnp.ndarray:
@@ -229,12 +146,10 @@ class FCN32s(nn.Module):
     dropout_rate: float = 0.5
     channel_scale: float = 1.0  # <1 shrinks all backbone widths (tests/dryruns)
     remat: bool = False  # rematerialize conv blocks (larger train batches)
-    pack_block1: bool = False  # width-pair lane packing for block 1 (exact)
-    prune_pad: bool = True  # support-pruned pad-100 blocks 1-3 (exact)
+    prune_pad: bool = True  # support-pruned pad-100 blocks 1-4 (exact)
 
     def width(self, f: int) -> int:
         return max(8, int(f * self.channel_scale))
-
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False,
@@ -252,11 +167,7 @@ class FCN32s(nn.Module):
             return nn.Conv(features, kernel, padding=padding, dtype=self.dtype,
                            param_dtype=self.param_dtype, name=name)(h)
 
-        packed1 = self.pack_block1 and in_w % 2 == 0
-
         def run_block(mdl, h, bi):
-            if bi == 0 and packed1:
-                return run_block1_packed(mdl, h)
             for c, (name, features) in enumerate(_VGG_BLOCKS[bi]):
                 pad = _PAD_CONV1 if (bi == 0 and c == 0) else 1
                 h = nn.relu(
@@ -270,8 +181,7 @@ class FCN32s(nn.Module):
             # activations instead of storing them (enables ~2x batch)
             run_block = nn.remat(run_block, static_argnums=(2,))
 
-        h, start_block = run_blocks_maybe_pruned(self, x.astype(self.dtype),
-                                                 packed1)
+        h, start_block = run_blocks_maybe_pruned(self, x.astype(self.dtype))
         for bi in range(start_block, len(_VGG_BLOCKS)):
             h = run_block(self, h, bi)
 

@@ -28,8 +28,9 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from zeroshotsemanticsegmentation_tpu.models.fcn32s import (
-    _PAD_CONV1, _VGG_BLOCKS, _max_pool_ceil, run_block1_packed,
-    run_blocks_maybe_pruned)
+    _PAD_CONV1, _VGG_BLOCKS, _max_pool_ceil, run_blocks_maybe_pruned)
+from zeroshotsemanticsegmentation_tpu.models.pruned import (
+    NUM_PRUNED_BLOCKS_SKIP)
 from zeroshotsemanticsegmentation_tpu.ops.bilinear import (
     upsample_bilinear_cropped)
 
@@ -45,7 +46,6 @@ class FCN8s(nn.Module):
     dropout_rate: float = 0.5
     channel_scale: float = 1.0
     remat: bool = False  # rematerialize conv blocks (larger train batches)
-    pack_block1: bool = False  # width-pair lane packing for block 1 (exact)
     prune_pad: bool = True  # support-pruned pad-100 blocks 1-3 (exact)
 
     def width(self, f: int) -> int:
@@ -67,11 +67,7 @@ class FCN8s(nn.Module):
             return nn.Conv(features, kernel, padding=padding, dtype=self.dtype,
                            param_dtype=self.param_dtype, name=name, **kw)(h)
 
-        packed1 = self.pack_block1 and in_w % 2 == 0
-
         def run_block(mdl, h, bi):
-            if bi == 0 and packed1:
-                return run_block1_packed(mdl, h)
             for c, (name, features) in enumerate(_VGG_BLOCKS[bi]):
                 pad = _PAD_CONV1 if (bi == 0 and c == 0) else 1
                 h = nn.relu(
@@ -86,11 +82,8 @@ class FCN8s(nn.Module):
         pools = {}
         # max 3 pruned blocks: the skip connection taps the full pool3 array,
         # which is exactly what the 3-block runner materializes
-        from zeroshotsemanticsegmentation_tpu.models.pruned import (
-            NUM_PRUNED_BLOCKS_SKIP)
         h, start_block = run_blocks_maybe_pruned(
-            self, x.astype(self.dtype), packed1,
-            max_blocks=NUM_PRUNED_BLOCKS_SKIP)
+            self, x.astype(self.dtype), max_blocks=NUM_PRUNED_BLOCKS_SKIP)
         if start_block:
             pools[start_block - 1] = h
         for bi in range(start_block, len(_VGG_BLOCKS)):

@@ -129,3 +129,34 @@ def test_pruned_tiny_input_falls_back():
     a = plain.apply({"params": params}, x, mode="fcn")
     b = pruned.apply({"params": params}, x, mode="fcn")
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_plan_and_runner_agree_across_geometries():
+    """plan_blocks is a pure-int replica of the runner's constraint checks;
+    trace (eval_shape, no compute) the model across a geometry grid so any
+    drift trips the runner's asserts, and pruned output shapes match the
+    plain path everywhere."""
+    from zeroshotsemanticsegmentation_tpu.models.pruned import plan_blocks
+    sizes = [(16, 16), (17, 23), (32, 48), (33, 47), (64, 64), (70, 96),
+             (71, 65), (80, 90), (96, 128), (121, 99), (480, 640),
+             (512, 512)]
+    for h, w in sizes:
+        for nb in (3, 4):
+            plan_blocks(h, w, 100, nb)  # must never raise
+        x = jnp.zeros((1, h, w, 3), jnp.float32)
+        plain = FCN32s(num_classes=5, channel_scale=_CS, prune_pad=False)
+        pruned = FCN32s(num_classes=5, channel_scale=_CS, prune_pad=True)
+        sp = jax.eval_shape(
+            lambda m=plain, xx=x: m.init(jax.random.PRNGKey(0), xx,
+                                         mode="both"))
+        sq = jax.eval_shape(
+            lambda m=pruned, xx=x: m.init(jax.random.PRNGKey(0), xx,
+                                          mode="both"))
+        assert (jax.tree_util.tree_structure(sp) ==
+                jax.tree_util.tree_structure(sq)), (h, w)
+        ap = jax.eval_shape(
+            lambda v, xx: plain.apply(v, xx, mode="both"), sp, x)
+        aq = jax.eval_shape(
+            lambda v, xx: pruned.apply(v, xx, mode="both"), sq, x)
+        assert jax.tree_util.tree_map(lambda a: a.shape, ap) == \
+            jax.tree_util.tree_map(lambda a: a.shape, aq), (h, w)

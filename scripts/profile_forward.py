@@ -31,7 +31,7 @@ def _find_xplane(logdir):
 
 
 def summarize_xplane(path, topk):
-    from tensorflow.core.profiler.protobuf import xplane_pb2
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
     space = xplane_pb2.XSpace()
     with open(path, "rb") as f:
         space.ParseFromString(f.read())

@@ -1,0 +1,65 @@
+"""ops/block1_fused.py — standalone fused block-1 op (interpret mode).
+
+The Pallas kernel runs on TPU; on the CPU test mesh it executes through the
+Pallas interpreter, pinning the packed-tap arithmetic against the XLA
+reference implementation (which is also the op's custom-vjp backward).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental import pallas as pl
+
+import zeroshotsemanticsegmentation_tpu.ops.block1_fused as bf
+
+
+@pytest.fixture(autouse=True)
+def _interpret(monkeypatch):
+    monkeypatch.setattr(
+        pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True))
+
+
+def _params(rng):
+    return (jnp.asarray(rng.randn(3, 3, 3, 64).astype(np.float32) * 0.2),
+            jnp.asarray(rng.randn(64).astype(np.float32) * 0.1),
+            jnp.asarray(rng.randn(3, 3, 64, 64).astype(np.float32) * 0.05),
+            jnp.asarray(rng.randn(64).astype(np.float32) * 0.1))
+
+
+@pytest.mark.parametrize("hw", [(78, 82), (90, 78)])
+def test_fused_block1_matches_xla(rng, hw):
+    hp, wp = hw
+    assert bf.fused_block1_supported(hp, wp)
+    xp = jnp.asarray(rng.randn(2, hp, wp, 3).astype(np.float32))
+    k1, b1, k2, b2 = _params(rng)
+    want = np.asarray(bf.xla_block1(xp, k1, b1, k2, b2, dtype=jnp.float32))
+    got = np.asarray(bf.fused_block1(xp, k1, b1, k2, b2, dtype=jnp.float32))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-4)
+
+
+def test_block1_op_differentiable(rng):
+    """custom_vjp backward = XLA path's gradients."""
+    xp = jnp.asarray(rng.randn(1, 78, 78, 3).astype(np.float32))
+    k1, b1, k2, b2 = _params(rng)
+
+    def loss_fused(k2_):
+        return jnp.sum(bf.block1_op(xp, k1, b1, k2_, b2, jnp.float32) ** 2)
+
+    def loss_xla(k2_):
+        return jnp.sum(bf.xla_block1(xp, k1, b1, k2_, b2,
+                                     dtype=jnp.float32) ** 2)
+
+    g_fused = jax.grad(loss_fused)(k2)
+    g_xla = jax.grad(loss_xla)(k2)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_xla),
+                               rtol=1e-4, atol=1e-3)
+
+
+def test_supported_gate():
+    assert bf.fused_block1_supported(522, 522)   # the 512^2 bucket
+    assert not bf.fused_block1_supported(77, 82)  # odd conv height
+    assert not bf.fused_block1_supported(522, 522, channels=32)

@@ -24,13 +24,25 @@ from zeroshotsemanticsegmentation_tpu.ops import (
     mse_loss, zeroshot_hists)
 
 
+def _embed_targets(label, embeddings):
+    """Per-pixel embedding[label] via a one-hot matmul: a row gather over
+    millions of pixels serializes on TPU (measured 7.6 ms/step at B=16
+    512^2 vs ~0.5 ms for this form). Precision.HIGHEST keeps the 0/1
+    selection exact to fp32 (the default bf16 matmul pass would quantize
+    the embedding values)."""
+    onehot = jax.nn.one_hot(jnp.clip(label, 0, None), embeddings.shape[0],
+                            dtype=embeddings.dtype)
+    return jnp.einsum("...n,nc->...c", onehot, embeddings,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
 def _per_sample_fcn_loss(loss_name: str, embeddings):
     """(H,W,C) score, (H,W) label -> scalar loss; exact reference semantics."""
     def loss_one(score, label):
         score, label = score[None], label[None]
         if loss_name == "cross_entropy":
             return cross_entropy2d(score, label, size_average=False)
-        target_embed = embeddings[jnp.clip(label, 0, None)]
+        target_embed = _embed_targets(label, embeddings)
         if loss_name == "cos":
             return cosine_loss(score, label, target_embed)
         if loss_name == "mse":

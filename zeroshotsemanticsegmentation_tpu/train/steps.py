@@ -348,8 +348,13 @@ def _seenmask_target(label, sizes, seen_vec):
     only this framework's static-shape padding is excluded.
     """
     h, w = label.shape[1], label.shape[2]
-    in_seen = seen_vec[jnp.clip(label, 0, None)] & (label >= 0)
-    tgt = in_seen.astype(jnp.int32)
+    # one-hot matmul instead of a per-pixel gather (gathers serialize on
+    # TPU); 0/1 x 0/1 arithmetic is exact in any precision
+    lifted = jnp.einsum(
+        "...n,n->...", jax.nn.one_hot(jnp.clip(label, 0, None),
+                                      seen_vec.shape[0], dtype=jnp.float32),
+        seen_vec.astype(jnp.float32))
+    tgt = jnp.where((lifted > 0.5) & (label >= 0), 1, 0)
     return jnp.where(_pad_mask(sizes, h, w), -1, tgt)
 
 

@@ -35,10 +35,10 @@ if _REPO_ROOT not in sys.path:
 
 BASELINE_MP_S = 50.0
 H = W = 512
-BATCH = 64  # best measured batch on v5e with prune_pad (112 vs 110 MP/s @32)
+BATCH = 64  # best measured batch on v5e with prune_pad (119.5 MP/s)
 CHAIN = 8   # model evaluations per dispatch
 
-TRAIN_BATCH = 24  # best measured on v5e with prune_pad (102 vs 98 img/s @16)
+TRAIN_BATCH = 24  # best measured on v5e with prune_pad (117.6 img/s)
 TRAIN_CHAIN = 4
 # reference-faithful FLOPs: 360 GFLOP fwd/img at 512^2 (pad-100 geometry);
 # backward ~2x forward => ~1080 GFLOP/img trained

@@ -68,7 +68,9 @@ def bench_inference() -> dict:
     from zeroshotsemanticsegmentation_tpu.data.assets import (
         load_class_embeddings)
 
-    model = FCN32s(num_classes=20, dtype=jnp.bfloat16)
+    # fused_block1: serving-only Pallas conv1_2+pool kernel (block 1 is
+    # XLA's weakest segment; 13.55 -> 11.1 ms at B=16)
+    model = FCN32s(num_classes=20, dtype=jnp.bfloat16, fused_block1=True)
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(BATCH, H, W, 3).astype(np.float32) * 40)
     params = jax.jit(lambda: model.init(jax.random.PRNGKey(0), x[:1],

@@ -63,3 +63,16 @@ def test_supported_gate():
     assert bf.fused_block1_supported(522, 522)   # the 512^2 bucket
     assert not bf.fused_block1_supported(77, 82)  # odd conv height
     assert not bf.fused_block1_supported(522, 522, channels=32)
+
+
+def test_model_with_fused_block1_matches(rng):
+    """FCN32s(fused_block1=True) == the default pruned path (fp32)."""
+    from zeroshotsemanticsegmentation_tpu.models import FCN32s
+    x = jnp.asarray(rng.randn(1, 64, 70, 3).astype(np.float32) * 40)
+    base = FCN32s(num_classes=5, dtype=jnp.float32, channel_scale=1.0)
+    fused = FCN32s(num_classes=5, dtype=jnp.float32, channel_scale=1.0,
+                   fused_block1=True)
+    params = base.init(jax.random.PRNGKey(0), x, mode="both")["params"]
+    a = np.asarray(base.apply({"params": params}, x, mode="fcn"))
+    b = np.asarray(fused.apply({"params": params}, x, mode="fcn"))
+    np.testing.assert_allclose(b, a, rtol=0, atol=1e-4)

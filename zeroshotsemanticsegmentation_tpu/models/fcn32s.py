@@ -112,8 +112,9 @@ def run_blocks_maybe_pruned(mdl, h, max_blocks: int = NUM_PRUNED_BLOCKS):
     run_pruned = run_pruned_blocks
     if mdl.remat:
         # recompute the (now-cheap) pruned blocks in backward
-        run_pruned = jax.checkpoint(run_pruned, static_argnums=(2, 3))
-    return run_pruned(kbs, h, _PAD_CONV1, mdl.dtype), nb
+        run_pruned = jax.checkpoint(run_pruned, static_argnums=(2, 3, 4))
+    return run_pruned(kbs, h, _PAD_CONV1, mdl.dtype,
+                      getattr(mdl, "fused_block1", False)), nb
 
 
 def _max_pool_ceil(x: jnp.ndarray) -> jnp.ndarray:
@@ -147,6 +148,10 @@ class FCN32s(nn.Module):
     channel_scale: float = 1.0  # <1 shrinks all backbone widths (tests/dryruns)
     remat: bool = False  # rematerialize conv blocks (larger train batches)
     prune_pad: bool = True  # support-pruned pad-100 blocks 1-4 (exact)
+    # serving/eval-only: Pallas conv1_2+pool kernel for block 1 (forward
+    # 13.55 -> 11.1 ms at B=16 512^2; backward recomputes via XLA, so keep
+    # it off for training)
+    fused_block1: bool = False
 
     def width(self, f: int) -> int:
         return max(8, int(f * self.channel_scale))

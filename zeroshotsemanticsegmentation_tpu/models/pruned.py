@@ -177,7 +177,7 @@ def prunable(in_h: int, in_w: int) -> bool:
     return min(in_h, in_w) >= _MIN_SIDE
 
 
-def run_pruned_blocks(kbs, x, pad1: int, dtype):
+def run_pruned_blocks(kbs, x, pad1: int, dtype, fused_block1: bool = False):
     """Run the first len(kbs) VGG blocks (conv/relu stacks + 2x2 ceil pools)
     of the pad-100 geometry on the receptive-field support only.
 
@@ -186,6 +186,10 @@ def run_pruned_blocks(kbs, x, pad1: int, dtype):
       x: (B, H, W, 3) input image batch (pre-pad).
       pad1: conv1_1's big pad (reference models.py:43 — 100).
       dtype: compute dtype.
+      fused_block1: route block 1 through the Pallas conv1_2+pool kernel
+        (ops/block1_fused.py; forward-optimized, backward recomputes via
+        XLA — serving/eval only). Falls back automatically when the
+        geometry or width is unsupported.
 
     Returns the *full* virtual pool{len(kbs)} array, numerically equal to
     the plain pad-100 path. Callers must have validated the geometry with
@@ -222,7 +226,33 @@ def run_pruned_blocks(kbs, x, pad1: int, dtype):
     s0 = 0
     vh, vw = H + 2 * pad1 - 2, W + 2 * pad1 - 2
     rim = 0                         # frame rim width at the current layer
+    start_bi = 0
+    if fused_block1 and len(kbs[0]) == 2 and kbs[0][1][0].shape[-1] == 64:
+        from zeroshotsemanticsegmentation_tpu.ops.block1_fused import (
+            block1_op, fused_block1_supported)
+        # block 1's frame rim is 0, so its support segment is exactly plain
+        # VALID convs on a zero-padded input: pad so the conv1_2 output
+        # lands even-aligned for the pool ([pad1-4, ...) — +1 bottom/right
+        # keeps odd extents pool-even)
+        hp, wp_ = H + 10 + H % 2, W + 10 + W % 2
+        if fused_block1_supported(hp, wp_) and pad1 >= 8:
+            # conv1_2-out target [pad1-4, pad1-4+H+6): conv1_1 inputs span
+            # [pad1-5, pad1+H+5) -> symmetric 5-px zero pad of the data
+            (k1, b1), (k2, b2) = kbs[0]
+            xp = jnp.pad(a, ((0, 0), (5, 5 + H % 2), (5, 5 + W % 2),
+                             (0, 0)))
+            a = block1_op(xp, k1, b1, k2, b2, dtype)
+            for k, b in kbs[0]:
+                c = nn.relu(jnp.einsum(
+                    "hwio,i->o", k.astype(jnp.float32),
+                    c.astype(jnp.float32)).astype(dtype) + b.astype(dtype))
+            s0 = (pad1 - 4) // 2
+            vh, vw = -(-vh // 2), -(-vw // 2)
+            rim = 1
+            start_bi = 1
     for bi, blk in enumerate(kbs):
+        if bi < start_bi:
+            continue
         for ci, (k, b) in enumerate(blk):
             first = bi == 0 and ci == 0
             # ring-pad by 2 with the current constant: +1 halo for the VALID

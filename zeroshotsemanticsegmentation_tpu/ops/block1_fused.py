@@ -46,26 +46,26 @@ from jax.experimental.pallas import tpu as pltpu
 _VMEM_BUDGET = 12 * 1024 * 1024
 
 
+_Q_CHUNK = 64  # output columns per inner chunk (bounds live VMEM values)
+
+
 def _tile_bytes(tp: int, pairs_p: int) -> int:
     q = pairs_p - 5
+    qc = min(_Q_CHUNK, q)
     return (2 * (2 * tp + 2) * pairs_p * 128 * 2   # double-buffered c11
-            + 2 * tp * q * 128 * 4                 # acc + held parity (fp32)
+            + 8 * tp * qc * 128 * 2                # 8 lhs operands (bf16)
+            + 2 * tp * qc * 128 * 4                # parity accs (fp32)
             + 2 * tp * q * 64 * 2)                 # double-buffered out
 
 
 def _plan_tiles(ph: int, pairs_p: int):
-    """(tp, ph_padded): smallest pool-row padding that admits a fitting
-    tile size; among equal paddings, the biggest tile (fewest DMAs)."""
-    best = None
+    """(tp, ph_padded): biggest fitting row tile (fewest, best-hidden DMAs
+    and large matmul M); row padding is cheap — it extends the zero-pad
+    region and is sliced off."""
     for tp in range(40, 3, -1):
-        if _tile_bytes(tp, pairs_p) > _VMEM_BUDGET:
-            continue
-        pad = (-ph) % tp
-        if best is None or (pad, -tp) < (best[1], -best[0]):
-            best = (tp, pad)
-    if best is None:
-        return None
-    return best[0], ph + best[1]
+        if _tile_bytes(tp, pairs_p) <= _VMEM_BUDGET:
+            return tp, ph + (-ph) % tp
+    return None
 
 
 def fused_block1_supported(hp: int, wp: int, channels: int = 64) -> bool:
@@ -142,29 +142,36 @@ def _kernel(c11_hbm, k2_ref, b2_ref, out_ref, buf, sems,
     b2p = b2_ref[0, :].astype(jnp.float32)
     v = buf[slot].reshape(tp + 1, 2, pairs_p, 128)
 
-    # build the 8 (dh, po) lhs operands once — both column parities reuse
-    # them (only the tap matrix differs), halving the sublane shuffles
-    lhs = {}
-    for dh in range(4):
-        r = jax.lax.slice_in_dim(v, dh // 2, dh // 2 + tp,
-                                 axis=0)[:, dh % 2]
-        for po in range(2):
-            lhs[dh, po] = jax.lax.slice_in_dim(
-                r, po, po + q, axis=1).reshape(tp * q, 128)
+    # row views per dh (both column parities and all q-chunks reuse them)
+    rows = [jax.lax.slice_in_dim(v, dh // 2, dh // 2 + tp, axis=0)[:, dh % 2]
+            for dh in range(4)]
 
-    def col_parity(eo):
-        acc = jnp.zeros((tp * q, 128), jnp.float32)
+    # process output columns in chunks: bounds the live lhs/acc VMEM so the
+    # planner can afford large row tiles (few, well-hidden DMAs)
+    q0 = 0
+    while q0 < q:
+        qc = min(_Q_CHUNK, q - q0)
+        lhs = {}
         for dh in range(4):
             for po in range(2):
-                acc = acc + jax.lax.dot_general(
-                    lhs[dh, po], k2_ref[eo, dh * 2 + po],
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-        return jnp.maximum(acc + b2p, 0.0)
+                lhs[dh, po] = jax.lax.slice_in_dim(
+                    rows[dh], q0 + po, q0 + po + qc,
+                    axis=1).reshape(tp * qc, 128)
 
-    z = jnp.maximum(col_parity(0), col_parity(1))   # pool over columns
-    z = jnp.maximum(z[:, :64], z[:, 64:])           # pool over row parity
-    out_ref[0, :, :, :] = z.reshape(tp, q, 64).astype(dtype)
+        def col_parity(eo):
+            acc = jnp.zeros((tp * qc, 128), jnp.float32)
+            for dh in range(4):
+                for po in range(2):
+                    acc = acc + jax.lax.dot_general(
+                        lhs[dh, po], k2_ref[eo, dh * 2 + po],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+            return jnp.maximum(acc + b2p, 0.0)
+
+        z = jnp.maximum(col_parity(0), col_parity(1))  # pool over columns
+        z = jnp.maximum(z[:, :64], z[:, 64:])          # pool over row parity
+        out_ref[0, :, q0:q0 + qc, :] = z.reshape(tp, qc, 64).astype(dtype)
+        q0 += qc
 
 
 def fused_block1(xp, k1, b1, k2, b2, *, dtype=jnp.bfloat16):

@@ -180,13 +180,115 @@ def bench_train() -> dict:
     }
 
 
+#: Substrings that mark a *transient* dispatch failure of the remote TPU
+#: tunnel on this platform (observed: dropped RPCs, stream resets, transient
+#: RESOURCE_EXHAUSTED while another client holds the chip). Anything else —
+#: a real OOM from a batch-size change, a shape error, a code bug — is
+#: deterministic and must fail fast, not after a pointless 60 s sleep.
+_TRANSIENT_MARKERS = (
+    "RESOURCE_EXHAUSTED",
+    "DEADLINE_EXCEEDED",
+    "UNAVAILABLE",
+    "ABORTED",
+    "socket closed",
+    "connection reset",
+    "stream removed",
+)
+
+
+def _is_transient(e: Exception) -> bool:
+    msg = f"{type(e).__name__}: {e}"
+    return any(m.lower() in msg.lower() for m in _TRANSIENT_MARKERS)
+
+
+def bench_train_loop() -> dict:
+    """End-to-end training-LOOP throughput: FCNTrainer.train_epoch driving
+    the production step over a replayed synthetic feed — includes
+    host->device transfers, dispatch overheads, and the reference's
+    per-iteration logging (buffered aux fetch, trainer_fcn.StepLogBuffer).
+    Pre-assembled batches exclude only synthetic image *generation* (the
+    native C++ decoder covers decode in real runs; this host has one core).
+    The delta vs bench_train's pure in-jit chain is the real loop tax."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from zeroshotsemanticsegmentation_tpu.configs import get_config
+    from zeroshotsemanticsegmentation_tpu.data import (
+        BatchLoader, SyntheticDataset)
+    from zeroshotsemanticsegmentation_tpu.models import FCN32s
+    from zeroshotsemanticsegmentation_tpu.train import (
+        FCNTrainer, make_fcn_optimizer)
+    from zeroshotsemanticsegmentation_tpu.utils import RunLogger
+
+    n_batches = 16
+    cfg = get_config(14, batch_size=TRAIN_BATCH)
+    ds = SyntheticDataset(num_images=n_batches * TRAIN_BATCH,
+                          num_classes=cfg.num_classes,
+                          size_range=(384, 512), seed=0)
+    batches = list(BatchLoader(ds, TRAIN_BATCH, bucket_hw=(H, W),
+                               compact=True))
+
+    class Replay:
+        """Replays pre-assembled host batches (training state still changes
+        every step, so no two dispatched programs have identical inputs)."""
+
+        def __init__(self, batches, dataset):
+            self._batches, self.dataset = batches, dataset
+
+        def set_epoch(self, epoch):
+            pass
+
+        def __len__(self):
+            return len(self._batches)
+
+        def __iter__(self):
+            return iter(self._batches)
+
+    loader = Replay(batches, ds)
+    model = FCN32s(num_classes=cfg.head_channels, dtype=jnp.bfloat16)
+    sample = jnp.zeros((1, H, W, 3), jnp.float32)
+    params = jax.jit(lambda: model.init(jax.random.PRNGKey(0), sample,
+                                        mode="both"))()["params"]
+    emb = np.random.RandomState(0).randn(
+        cfg.num_classes, cfg.embed_dim).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    tx = make_fcn_optimizer(params, optim=cfg.fcn_optim, lr=cfg.fcn_lr)
+    with tempfile.TemporaryDirectory() as td:
+        logger = RunLogger(td, verbose=False)
+        trainer = FCNTrainer(
+            cfg=cfg, model=model, tx=tx, params=params, train_loader=loader,
+            val_loader=loader, logger=logger, embeddings=emb,
+            target_embeddings=emb)
+        trainer.train_epoch()  # compile + warm
+        jax.block_until_ready(trainer.state.params)
+        t0 = time.perf_counter()
+        trainer.train_epoch()
+        jax.block_until_ready(trainer.state.params)
+        dt = time.perf_counter() - t0
+        logger.close()
+
+    img_per_s = n_batches * TRAIN_BATCH / dt
+    return {
+        "metric": "fcn_train_loop_throughput",
+        "value": round(img_per_s, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(img_per_s / TRAIN_BASELINE_IMG_S, 3),
+        "batch": TRAIN_BATCH,
+        "step_ms": round(dt / n_batches * 1e3, 2),
+    }
+
+
 def _with_retry(fn):
-    """One retry after a cooldown: the remote TPU tunnel on this platform
-    occasionally drops a dispatch (observed transient RESOURCE_EXHAUSTED /
-    stalls); a fresh attempt usually succeeds."""
+    """One retry after a cooldown, but only for transient tunnel errors
+    (see _TRANSIENT_MARKERS); deterministic failures re-raise immediately."""
     try:
         return fn()
-    except Exception as e:  # noqa: BLE001 - last-resort benchmark guard
+    except Exception as e:  # noqa: BLE001 - classified below
+        if not _is_transient(e):
+            raise
         print(f"bench attempt failed ({type(e).__name__}); retrying in 60 s",
               file=sys.stderr)
         time.sleep(60)
@@ -199,10 +301,16 @@ def main(argv=None) -> None:
     if "--train" in argv:
         print(json.dumps(_with_retry(bench_train)))
         return
+    if "--loop" in argv:
+        print(json.dumps(_with_retry(bench_train_loop)))
+        return
     if "--all" in argv:
         train = _with_retry(bench_train)
         with open(osp.join(_REPO_ROOT, "BENCH_TRAIN.json"), "w") as f:
             json.dump(train, f)
+        loop = _with_retry(bench_train_loop)
+        with open(osp.join(_REPO_ROOT, "BENCH_TRAIN_LOOP.json"), "w") as f:
+            json.dump(loop, f)
     print(json.dumps(_with_retry(bench_inference)))
 
 

@@ -89,6 +89,28 @@ def test_dp_tp_matches_single_device(rng):
                                   np.asarray(dp_aux["hist"]))
 
 
+def test_multislice_mesh_matches_single_device(rng):
+    """2-slice hybrid mesh (DCN-style DP over 'slice', DP x TP within):
+    batch shards over ('slice','data') jointly and the step matches the
+    single-device numbers like the single-slice mesh does."""
+    from zeroshotsemanticsegmentation_tpu.parallel import make_multislice_mesh
+    model, params, batch, embed = build(rng)
+    ref_state, ref_aux = run_steps(model, params, batch, embed, mesh=None)
+    mesh = make_multislice_mesh(2, 2, 2)
+    assert mesh.shape == {"slice": 2, "data": 2, "model": 2}
+    sb = shard_batch({k: np.asarray(v) for k, v in batch.items()}, mesh)
+    assert sb["image"].sharding.shard_shape(sb["image"].shape)[0] == 1  # 4/4
+    ms_state, ms_aux = run_steps(model, params, batch, embed, mesh=mesh)
+    np.testing.assert_allclose(float(ref_aux["loss"]), float(ms_aux["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(ref_state.params),
+                    jax.tree_util.tree_leaves(ms_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(ref_aux["hist"]),
+                                  np.asarray(ms_aux["hist"]))
+
+
 def test_dp_only_mesh(rng):
     model, params, batch, embed = build(rng, batch=8)
     mesh = make_mesh(8, 1)

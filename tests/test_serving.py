@@ -58,6 +58,40 @@ def test_predictor_on_mesh(rng):
     assert (got != want).mean() < 1e-4
 
 
+def test_fused_eval_steps_on_mesh(rng):
+    """Trainer validation's fused path under a DPxTP mesh: the shard_mapped
+    pallas kernel (interpret on CPU) must match the unfused eval steps —
+    this is the path `fused_eval=auto` now takes on multi-chip TPU runs."""
+    from zeroshotsemanticsegmentation_tpu.parallel import (
+        make_mesh, shard_batch, shard_params)
+    from zeroshotsemanticsegmentation_tpu.train.steps import (
+        make_fcn_eval_step, make_szn_eval_step)
+    model, params, embed = build(rng)
+    mesh = make_mesh(4, 2)
+    batch = {"image": rng.randn(4, 64, 64, 3).astype(np.float32) * 40,
+             "label": rng.randint(-1, 9, (4, 64, 64)).astype(np.int32),
+             "sizes": np.full((4, 2), 64, np.int32),
+             "num_real": np.int32(4)}
+    unseen_vec = jnp.asarray(unseen_mask_vector(9, [2, 5]))
+    kw = dict(loss_name="cos", num_classes=9, embeddings=jnp.asarray(embed),
+              val_unseen_vec=unseen_vec)
+    dbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+    sparams = shard_params(params, mesh)
+    sbatch = shard_batch(batch, mesh)
+
+    for factory, extra in [(make_fcn_eval_step, {}),
+                           (make_szn_eval_step,
+                            {"all_unseen_vec": unseen_vec})]:
+        ref = factory(model, **kw, **extra)(params, dbatch)
+        out = factory(model, fused=True, mesh=mesh, **kw, **extra)(
+            sparams, sbatch)
+        assert np.isclose(float(out["loss_sum"]), float(ref["loss_sum"]),
+                          rtol=1e-4)
+        flips = (np.asarray(out["pred"]) != np.asarray(ref["pred"])).mean()
+        assert flips < 1e-3  # fp argmax ties only
+        assert np.asarray(out["hists"]).sum() == np.asarray(ref["hists"]).sum()
+
+
 def test_predictor_spatial_parallel(rng):
     """SP serving: image height sharded over 'data' (huge-image, tiny-batch
     case); GSPMD halo exchange must reproduce the single-device labels."""

@@ -30,6 +30,24 @@ from zeroshotsemanticsegmentation_tpu.train import checkpoint as ckpt
 from zeroshotsemanticsegmentation_tpu.utils import RunLogger
 
 
+def _ensure_datasets(cfg, data_dir, logger) -> None:
+    """Reference parity: the driver fetches missing dataset archives at
+    startup (train.py:71 calls download(data_dir)). Idempotent — archives
+    already present (or pre-provisioned air-gapped) are skipped; a failed
+    fetch (zero-egress environments) logs and continues so the dataset
+    constructor raises its usual actionable error."""
+    from zeroshotsemanticsegmentation_tpu.data.download import (
+        download_context, download_pascal)
+    fetch = download_pascal if cfg.dataset == "pascal" else download_context
+    try:
+        fetch(data_dir)
+    except Exception as e:
+        logger.stdout(f"WARNING: dataset auto-download failed ({e!r}); "
+                      "expecting pre-provisioned data under "
+                      f"{osp.join(data_dir, cfg.dataset)} "
+                      "(see scripts/egress_runbook.py)")
+
+
 def _build_datasets(cfg, *, data_dir, synthetic):
     if synthetic:
         hi = min(cfg.bucket)
@@ -67,6 +85,8 @@ def run_experiment(cfg, *, preset: int = 0, name: str | None = None,
     logger.dump_config(dataclasses.asdict(cfg))
 
     # 1. data
+    if not synthetic:
+        _ensure_datasets(cfg, data_dir, logger)
     train_ds, train_seen_ds, val_ds = _build_datasets(
         cfg, data_dir=data_dir, synthetic=synthetic)
     mk_loader = lambda ds, bs, sh: BatchLoader(  # noqa: E731
@@ -122,7 +142,7 @@ def run_experiment(cfg, *, preset: int = 0, name: str | None = None,
         ckpt_path = load_path if ckpt.checkpoint_exists(load_path) else \
             osp.join(data_dir, "logs", load_path, "best")
         checkpoint = ckpt.restore_checkpoint(ckpt_path)
-        params = _merge_params(params, checkpoint["params"])
+        params = _merge_params(params, checkpoint["params"], logger)
         # checkpoint['epoch'] is the last *completed* epoch; training resumes
         # after it (the reference re-runs every epoch on resume — train.py:295
         # ignores the restored counter — which we treat as a bug, not parity)
@@ -134,6 +154,14 @@ def run_experiment(cfg, *, preset: int = 0, name: str | None = None,
     elif not synthetic and cfg.mode == "train":
         # reference always starts fresh runs from caffe-VGG16 (train.py:127-129)
         default_vgg = osp.join(data_dir, "models", "vgg16_from_caffe.pth")
+        if not osp.exists(default_vgg):
+            try:  # reference parity: fetch + md5-verify on first use
+                from zeroshotsemanticsegmentation_tpu.models.pretrained import (
+                    cached_download_vgg16)
+                cached_download_vgg16(data_dir)
+            except Exception as e:
+                logger.stdout(
+                    f"WARNING: VGG16 auto-download failed ({e!r})")
         if osp.exists(default_vgg):
             logger.stdout(f"initializing backbone from {default_vgg}")
             params = load_vgg16_into_params(params, default_vgg)
@@ -185,7 +213,8 @@ def run_experiment(cfg, *, preset: int = 0, name: str | None = None,
                 raise FileNotFoundError(
                     f"stage 2 needs a stage-1 checkpoint: no {best_path} and "
                     "no -r/load_fcn_path checkpoint was loaded")
-            params2 = _merge_params(fcn_trainer.state.params, best["params"])
+            params2 = _merge_params(fcn_trainer.state.params, best["params"],
+                                    logger)
             tx2 = make_seenmask_optimizer(params2, lr=cfg.seenmask_lr)
             seenmask_trainer = SeenmaskTrainer(
                 cfg=cfg, model=model, tx=tx2, params=params2,
@@ -204,14 +233,30 @@ def run_experiment(cfg, *, preset: int = 0, name: str | None = None,
     return summary
 
 
-def _merge_params(params, loaded):
-    """strict=False load (reference train.py:114): copy matching entries."""
+def _merge_params(params, loaded, logger=None):
+    """strict=False load (reference train.py:114): copy matching entries.
+
+    Anything NOT copied (missing module/leaf or shape mismatch — e.g. a
+    checkpoint from a different embed_dim) is reported through `logger` so a
+    partial load is never silent."""
     out = jax.tree_util.tree_map(lambda x: x, params)
+    skipped = []
     for module, leaves in loaded.items():
-        if module in out:
-            for k, v in leaves.items():
-                if k in out[module] and np.shape(v) == np.shape(out[module][k]):
-                    out[module][k] = jnp.asarray(v)
+        if module not in out:
+            skipped.append(f"{module}/* (no such module)")
+            continue
+        for k, v in leaves.items():
+            if k not in out[module]:
+                skipped.append(f"{module}/{k} (no such leaf)")
+            elif np.shape(v) != np.shape(out[module][k]):
+                skipped.append(
+                    f"{module}/{k} (shape {np.shape(v)} vs "
+                    f"{np.shape(out[module][k])})")
+            else:
+                out[module][k] = jnp.asarray(v)
+    if skipped and logger is not None:
+        logger.stdout("WARNING: partial checkpoint load; skipped: "
+                      + ", ".join(skipped))
     return out
 
 

@@ -46,6 +46,11 @@ class Config:
     model_parallel: int = 1
     seed: int = 1337                       # reference train.py:62
     log_interval: int = 1
+    # logged steps buffered before one host fetch: a per-step scalar fetch
+    # syncs the dispatch queue (~30 ms RPC on this platform, ~15% of a step);
+    # buffering keeps the reference's per-iteration rows while the device
+    # runs ahead. 1 = reference-exact immediate logging.
+    log_flush_steps: int = 16
     max_train_images: int = 0              # 0 => dataset default budget
     num_viz: int = 25                      # reference trainer_fcn.py:204
     channel_scale: float = 1.0             # <1: thin model (tests/dryruns only)

@@ -7,8 +7,10 @@ exposes it with a graceful fallback: `NativeLoader.available()` is False when
 the shared library hasn't been built (``make -C native``), and callers keep
 the pure-Python path.
 
-SBD ``.mat`` training labels are not handled natively (PNG labels only —
-VOC val and PASCAL-Context); the Python scipy path covers those.
+All three label formats are handled natively: PNG (VOC val,
+PASCAL-Context) and SBD ``.mat`` training labels via the built-in MAT5
+parser (native/zss_loader.cc:129-333); the Python scipy path remains as the
+fallback when the library isn't built.
 """
 
 from __future__ import annotations

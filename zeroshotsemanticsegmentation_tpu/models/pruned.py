@@ -235,13 +235,19 @@ def run_pruned_blocks(kbs, x, pad1: int, dtype, fused_block1: bool = False):
         # lands even-aligned for the pool ([pad1-4, ...) — +1 bottom/right
         # keeps odd extents pool-even)
         hp, wp_ = H + 10 + H % 2, W + 10 + W % 2
-        if fused_block1_supported(hp, wp_) and pad1 >= 8:
+        if fused_block1_supported(hp, wp_, dtype=dtype) and pad1 >= 8:
             # conv1_2-out target [pad1-4, pad1-4+H+6): conv1_1 inputs span
             # [pad1-5, pad1+H+5) -> symmetric 5-px zero pad of the data
             (k1, b1), (k2, b2) = kbs[0]
             xp = jnp.pad(a, ((0, 0), (5, 5 + H % 2), (5, 5 + W % 2),
                              (0, 0)))
             a = block1_op(xp, k1, b1, k2, b2, dtype)
+            # odd H/W: the +1 bottom/right pool-even pad computed one extra
+            # pooled row/col beyond the standard path's support. It is
+            # data-independent (conv rows >= s0+H+101 > data reach) and
+            # equals the interior constant, so slicing it keeps this runner
+            # in exact lockstep with the geometry plan_blocks simulated.
+            a = a[:, :a.shape[1] - H % 2, :a.shape[2] - W % 2, :]
             for k, b in kbs[0]:
                 c = nn.relu(jnp.einsum(
                     "hwio,i->o", k.astype(jnp.float32),

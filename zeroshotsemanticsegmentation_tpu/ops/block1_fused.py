@@ -49,32 +49,33 @@ _VMEM_BUDGET = 12 * 1024 * 1024
 _Q_CHUNK = 64  # output columns per inner chunk (bounds live VMEM values)
 
 
-def _tile_bytes(tp: int, pairs_p: int) -> int:
+def _tile_bytes(tp: int, pairs_p: int, itemsize: int = 2) -> int:
     q = pairs_p - 5
     qc = min(_Q_CHUNK, q)
-    return (2 * (2 * tp + 2) * pairs_p * 128 * 2   # double-buffered c11
-            + 8 * tp * qc * 128 * 2                # 8 lhs operands (bf16)
-            + 2 * tp * qc * 128 * 4                # parity accs (fp32)
-            + 2 * tp * q * 64 * 2)                 # double-buffered out
+    return (2 * (2 * tp + 2) * pairs_p * 128 * itemsize  # dbl-buffered c11
+            + 8 * tp * qc * 128 * itemsize               # 8 lhs operands
+            + 2 * tp * qc * 128 * 4                      # parity accs (fp32)
+            + 2 * tp * q * 64 * itemsize)                # dbl-buffered out
 
 
-def _plan_tiles(ph: int, pairs_p: int):
+def _plan_tiles(ph: int, pairs_p: int, itemsize: int = 2):
     """(tp, ph_padded): biggest fitting row tile (fewest, best-hidden DMAs
     and large matmul M); row padding is cheap — it extends the zero-pad
     region and is sliced off."""
     for tp in range(40, 3, -1):
-        if _tile_bytes(tp, pairs_p) <= _VMEM_BUDGET:
+        if _tile_bytes(tp, pairs_p, itemsize) <= _VMEM_BUDGET:
             return tp, ph + (-ph) % tp
     return None
 
 
-def fused_block1_supported(hp: int, wp: int, channels: int = 64) -> bool:
+def fused_block1_supported(hp: int, wp: int, channels: int = 64,
+                           dtype=jnp.bfloat16) -> bool:
     """xp is (B, hp, wp, 3); conv outputs (hp-4, wp-4) must pool evenly."""
     ch, cw = hp - 4, wp - 4
     if channels != 64 or ch <= 0 or cw <= 0 or ch % 2 or cw % 2:
         return False
     pairs_p = -(-((cw + 2) // 2 + 4) // 8) * 8
-    return _plan_tiles(ch // 2, pairs_p) is not None
+    return _plan_tiles(ch // 2, pairs_p, jnp.dtype(dtype).itemsize) is not None
 
 
 def _pack_k1_pairs(k1):
@@ -187,7 +188,7 @@ def fused_block1(xp, k1, b1, k2, b2, *, dtype=jnp.bfloat16):
     ph, pw = ch // 2, cw // 2
     pairs = (cw + 2) // 2                           # conv1_1-out pairs
     pairs_p = -(-(pairs + 4) // 8) * 8              # DMA-aligned
-    plan = _plan_tiles(ph, pairs_p)
+    plan = _plan_tiles(ph, pairs_p, jnp.dtype(dtype).itemsize)
     assert plan is not None, (hp, wp)
     tp, ph_pad = plan
     # widen so conv1_1 emits pairs_p pairs and 2*ph_pad+2 rows natively;

@@ -33,10 +33,12 @@ def cross_entropy2d(score: jnp.ndarray, target: jnp.ndarray, *,
     tgt = jnp.where(valid, target, 0)
     # one-hot multiply-sum instead of take_along_axis: the minor-dim gather
     # lowers catastrophically on TPU (measured 105 ms extra on a
-    # 24x512^2x2 seenmask batch vs ~0 for the one-hot form); exact — the
-    # non-target terms are logp * 0.0 == 0.0 for finite logp
-    nll = -jnp.sum(logp * jax.nn.one_hot(tgt, score.shape[-1],
-                                         dtype=logp.dtype), axis=-1)
+    # 24x512^2x2 seenmask batch vs ~0 for the one-hot form). The where()
+    # keeps it exact even when log_softmax hits -inf on non-target entries
+    # (fp32 logit-gap overflow, e.g. diverged training): -inf * 0.0 would be
+    # NaN, where the reference's gather only ever reads the target entry.
+    onehot = jax.nn.one_hot(tgt, score.shape[-1], dtype=logp.dtype)
+    nll = -jnp.sum(jnp.where(onehot > 0, logp, 0.0), axis=-1)
     loss = jnp.sum(jnp.where(valid, nll, 0.0))
     if size_average:
         loss = loss / jnp.maximum(jnp.sum(valid), 1).astype(jnp.float32)

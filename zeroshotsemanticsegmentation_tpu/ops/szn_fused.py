@@ -116,11 +116,37 @@ def _fused(score_small, gate_small, embed_scaled, seen_mask, unseen_mask,
     return out[:n_rows].reshape(b, out_h, out_w)
 
 
+def _fused_call(score_small, gate_small, embed_scaled, seen, unseen, fill,
+                out_h: int, out_w: int, row_tile: int, interpret: bool,
+                mesh=None):
+    """Dispatch to _fused, optionally shard_mapped over the mesh 'data' axis.
+
+    GSPMD cannot partition a pallas_call body, so under a mesh the un-mapped
+    kernel would run on fully regathered inputs on every device. shard_map
+    instead runs the kernel per data shard on the local batch slice (heads
+    batch-sharded, embedding/mask operands replicated) — the same program a
+    single chip runs, b/n_data at a time, with no collectives inside."""
+    if mesh is None or (mesh.shape.get("data", 1)
+                        * mesh.shape.get("slice", 1)) == 1:
+        return _fused(score_small, gate_small, embed_scaled, seen, unseen,
+                      fill, out_h, out_w, row_tile, interpret)
+    from jax.sharding import PartitionSpec as P
+    from zeroshotsemanticsegmentation_tpu.parallel.mesh import data_axes
+    fn = functools.partial(_fused, out_h=out_h, out_w=out_w,
+                           row_tile=row_tile, interpret=interpret)
+    b = P(data_axes(mesh))  # ('slice','data') jointly on multi-slice meshes
+    return jax.shard_map(fn, mesh=mesh,
+                         in_specs=(b, b, P(), P(), P(), P()),
+                         out_specs=b, check_vma=False)(
+        score_small, gate_small, embed_scaled, seen, unseen, fill)
+
+
 def infer_labels_nne_fused(score_small: jnp.ndarray,
                            embeddings: jnp.ndarray,
                            out_hw: tuple[int, int],
                            *, row_tile: int = DEFAULT_ROW_TILE,
-                           interpret: bool | None = None) -> jnp.ndarray:
+                           interpret: bool | None = None,
+                           mesh=None) -> jnp.ndarray:
     """Plain (unstitched) NNE from the raw head — reference infer_lbl
     (utils.py:159-185) over ALL classes, fused like infer_labels_szn_fused.
 
@@ -139,9 +165,10 @@ def infer_labels_nne_fused(score_small: jnp.ndarray,
     fill = jnp.concatenate([jnp.zeros((k,), jnp.float32),
                             jnp.full((1,), -1e30, jnp.float32)])[:, None]
     gate_small = jnp.full(score_small.shape[:-1], -1.0, jnp.float32)
-    return _fused(score_small, gate_small, embed_scaled, seen, unseen, fill,
-                  int(out_hw[0]), int(out_hw[1]), row_tile,
-                  _interpret_default() if interpret is None else interpret)
+    return _fused_call(
+        score_small, gate_small, embed_scaled, seen, unseen, fill,
+        int(out_hw[0]), int(out_hw[1]), row_tile,
+        _interpret_default() if interpret is None else interpret, mesh)
 
 
 def infer_labels_szn_fused(score_small: jnp.ndarray,
@@ -150,7 +177,8 @@ def infer_labels_szn_fused(score_small: jnp.ndarray,
                            unseen_class_mask,
                            out_hw: tuple[int, int],
                            *, row_tile: int = DEFAULT_ROW_TILE,
-                           interpret: bool | None = None) -> jnp.ndarray:
+                           interpret: bool | None = None,
+                           mesh=None) -> jnp.ndarray:
     """SZN labels from raw (1/32-res) heads (model mode='raw').
 
     Equivalent to upsampling both heads and running
@@ -171,6 +199,7 @@ def infer_labels_szn_fused(score_small: jnp.ndarray,
     gate_small = (seenmask_small[..., 0]
                   - seenmask_small[..., 1]).astype(jnp.float32)
     assert embed_scaled.shape == (k, score_small.shape[-1])
-    return _fused(score_small, gate_small, embed_scaled, seen, unseen, fill,
-                  int(out_hw[0]), int(out_hw[1]), row_tile,
-                  _interpret_default() if interpret is None else interpret)
+    return _fused_call(
+        score_small, gate_small, embed_scaled, seen, unseen, fill,
+        int(out_hw[0]), int(out_hw[1]), row_tile,
+        _interpret_default() if interpret is None else interpret, mesh)

@@ -17,7 +17,7 @@ import numpy as np
 
 
 def run(n_devices: int, *, channel_scale: float = 0.5,
-        bucket: int = 64) -> dict:
+        bucket: int = 64, slices: int = 1) -> dict:
     # channel_scale 0.5 keeps every sharding real (fc6 is still a 2048-wide
     # Megatron column split) while staying inside XLA:CPU's in-process
     # collective rendezvous termination timeout (hardcoded 40 s): at full
@@ -36,7 +36,8 @@ def run(n_devices: int, *, channel_scale: float = 0.5,
 
     from zeroshotsemanticsegmentation_tpu.models import FCN32s
     from zeroshotsemanticsegmentation_tpu.parallel import (
-        make_mesh, replicate, shard_batch, shard_params)
+        make_mesh, make_multislice_mesh, replicate, shard_batch,
+        shard_params)
     from zeroshotsemanticsegmentation_tpu.train import make_fcn_optimizer
     from zeroshotsemanticsegmentation_tpu.train.state import TrainState
     from zeroshotsemanticsegmentation_tpu.train.steps import (
@@ -44,11 +45,23 @@ def run(n_devices: int, *, channel_scale: float = 0.5,
     from zeroshotsemanticsegmentation_tpu.ops.metrics import unseen_mask_vector
 
     model_axis = 2 if n_devices % 2 == 0 and n_devices >= 4 else 1
-    data_axis = n_devices // model_axis
-    mesh = make_mesh(data_axis, model_axis, devices=devices[:n_devices])
+    if slices > 1:
+        # multi-slice (DCN) simulation: DP over 'slice', DP x TP within —
+        # the gradient psum spans slice+data, everything else stays inside
+        # a slice (see make_multislice_mesh's cost-model note)
+        if n_devices % (slices * model_axis):
+            raise ValueError(f"{n_devices} devices can't split into "
+                             f"{slices} slices x {model_axis} model")
+        data_axis = n_devices // (slices * model_axis)
+        mesh = make_multislice_mesh(slices, data_axis, model_axis,
+                                    devices=devices[:n_devices])
+        batch_size = slices * data_axis
+    else:
+        data_axis = n_devices // model_axis
+        mesh = make_mesh(data_axis, model_axis, devices=devices[:n_devices])
+        batch_size = data_axis  # one sample per data shard
 
     rng = np.random.RandomState(0)
-    batch_size = data_axis  # one sample per data shard
     model = FCN32s(num_classes=20, channel_scale=channel_scale)
     x = rng.randn(batch_size, bucket, bucket, 3).astype(np.float32) * 40
     label = rng.randint(-1, 21, (batch_size, bucket, bucket)).astype(np.int32)
@@ -107,5 +120,20 @@ def run(n_devices: int, *, channel_scale: float = 0.5,
     return result
 
 
+def run_all(n_devices: int) -> dict:
+    """Driver hook body: the single-slice DP x TP program at 0.5 width, then
+    a 2-slice ('slice','data','model') hybrid-mesh step at 0.25 width (small
+    enough to stay inside XLA:CPU's in-process collective rendezvous timeout
+    on a 1-core host — see run()'s channel_scale note)."""
+    result = run(n_devices)
+    if n_devices >= 4 and n_devices % 4 == 0:
+        result["multislice"] = run(n_devices, slices=2, channel_scale=0.25)
+    return result
+
+
 if __name__ == "__main__":
-    run(int(sys.argv[1]) if len(sys.argv) > 1 else 8)
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    if len(sys.argv) > 2:
+        run(n, slices=int(sys.argv[2]))
+    else:
+        run_all(n)

@@ -26,6 +26,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+SLICE_AXIS = "slice"  # multi-slice (DCN) outer data axis
 
 # fc6 column-parallel, fc7 row-parallel (kernel layout HWIO)
 _TP_RULES = {
@@ -50,6 +51,40 @@ def make_mesh(data: int | None = None, model: int = 1,
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 
 
+def make_multislice_mesh(slices: int, data: int | None = None,
+                         model: int = 1, devices=None) -> Mesh:
+    """('slice', 'data', 'model') hybrid mesh for multi-slice pods.
+
+    Axis placement follows the DCN/ICI cost model: pure data parallelism
+    over 'slice' (the only cross-slice traffic is the once-per-step gradient
+    psum — small and latency-tolerant, so it can ride DCN), with
+    within-slice DP on 'data' and Megatron TP on 'model' riding ICI. On real
+    multi-slice hardware pass `jax.experimental.mesh_utils.
+    create_hybrid_device_mesh((slices,), (data, model))`'s devices; on a
+    flat device list (virtual CPU devices, or a single slice pretending to
+    be several) a plain reshape produces the same logical topology, which is
+    what the driver's CPU dryrun certifies.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if data is None:
+        data = len(devices) // (slices * model)
+    need = slices * data * model
+    if need > len(devices) or min(slices, data, model) < 1:
+        raise ValueError(
+            f"mesh {slices}x{data}x{model} needs {need} devices, "
+            f"have {len(devices)}")
+    grid = np.asarray(devices[:need]).reshape(slices, data, model)
+    return Mesh(grid, (SLICE_AXIS, DATA_AXIS, MODEL_AXIS))
+
+
+def data_axes(mesh: Mesh | None) -> tuple:
+    """The mesh axes a batch dimension shards over ('slice' included when
+    the mesh is multi-slice)."""
+    if mesh is not None and SLICE_AXIS in mesh.axis_names:
+        return (SLICE_AXIS, DATA_AXIS)
+    return (DATA_AXIS,)
+
+
 def param_pspecs(params) -> dict:
     """PartitionSpec tree for a FCN32s param tree: TP on fc6/fc7, rest replicated."""
     def spec_for(module: str, leaf: str):
@@ -61,8 +96,11 @@ def param_pspecs(params) -> dict:
     }
 
 
-def batch_pspecs(batch: dict) -> dict:
-    """Batch arrays sharded on the leading ('data') axis; scalars replicated."""
+def batch_pspecs(batch: dict, mesh: Mesh | None = None) -> dict:
+    """Batch arrays sharded on the leading (data) axis — over
+    ('slice', 'data') jointly on a multi-slice mesh; scalars replicated."""
+    axes = data_axes(mesh)
+    lead = axes[0] if len(axes) == 1 else axes
     out = {}
     for k, v in batch.items():
         if k == "ids":
@@ -71,7 +109,7 @@ def batch_pspecs(batch: dict) -> dict:
         if arr.ndim == 0:
             out[k] = P()
         else:
-            out[k] = P(DATA_AXIS, *([None] * (arr.ndim - 1)))
+            out[k] = P(lead, *([None] * (arr.ndim - 1)))
     return out
 
 
@@ -83,7 +121,7 @@ def shard_params(params, mesh: Mesh):
 
 
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
-    specs = batch_pspecs(batch)
+    specs = batch_pspecs(batch, mesh)
     out = {}
     for k, v in batch.items():
         if k == "ids":

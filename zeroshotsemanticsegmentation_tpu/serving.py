@@ -45,6 +45,12 @@ def make_szn_predictor(model, params, embeddings, unseen_classes,
         embed = replicate(embed, mesh)
         unseen_vec = replicate(unseen_vec, mesh)
 
+    # batch-sharded meshes shard_map the Pallas kernel over 'data' (GSPMD
+    # can't partition a pallas_call body); spatial mode keeps the un-mapped
+    # call — its heads are height-sharded, and GSPMD regathers the tiny
+    # 1/32-res heads before the kernel
+    kernel_mesh = mesh if (mesh is not None and not spatial) else None
+
     # params/embed stay jit *arguments* (closing over them would inline the
     # full weight tree into the HLO as constants)
     @jax.jit
@@ -55,7 +61,7 @@ def make_szn_predictor(model, params, embeddings, unseen_classes,
         f_raw, s_raw = model.apply({"params": params}, images, mode="raw")
         return infer_labels_szn_fused(
             f_raw, s_raw, embed, unseen_vec,
-            (images.shape[1], images.shape[2]))
+            (images.shape[1], images.shape[2]), mesh=kernel_mesh)
 
     def predict(images):
         return _predict(params, embed, unseen_vec, images)

@@ -241,7 +241,7 @@ def make_fcn_eval_step(model, *, loss_name: str, num_classes: int,
                        embeddings=None, target_embeddings=None,
                        forced_unseen: bool = False,
                        all_unseen_vec=None, val_unseen_vec=None,
-                       fused: bool = False):
+                       fused: bool = False, mesh=None):
     """Stage-1/test_fcn eval step (reference Trainer.forward path).
 
     `fused` (NNE modes only — argmax baseline and the forced-unseen oracle
@@ -265,7 +265,8 @@ def make_fcn_eval_step(model, *, loss_name: str, num_classes: int,
             f_small = model.apply({"params": params}, images, mode="raw")[0]
             loss_sum, score_sum = _chunked_loss_from_raw(
                 loss_one, f_small, labels, out_h, out_w)
-            pred = infer_labels_nne_fused(f_small, embeddings, (out_h, out_w))
+            pred = infer_labels_nne_fused(f_small, embeddings,
+                                          (out_h, out_w), mesh=mesh)
             hists = zeroshot_hists(labels, pred, num_classes,
                                    val_unseen_vec)
             return {"loss_sum": loss_sum, "hists": hists, "pred": pred,
@@ -292,7 +293,7 @@ def make_fcn_eval_step(model, *, loss_name: str, num_classes: int,
 def make_szn_eval_step(model, *, loss_name: str, num_classes: int,
                        embeddings, target_embeddings=None,
                        all_unseen_vec=None, val_unseen_vec=None,
-                       fused: bool = False):
+                       fused: bool = False, mesh=None):
     """Full-SZN eval step (reference Trainer.forward_szn, trainer_fcn.py:123-147):
     both heads, seenmask-gated stitched NNE inference, fcn loss.
 
@@ -315,7 +316,8 @@ def make_szn_eval_step(model, *, loss_name: str, num_classes: int,
             loss_sum, score_sum = _chunked_loss_from_raw(
                 loss_one, f_small, labels, out_h, out_w)
             pred = infer_labels_szn_fused(f_small, s_small, embeddings,
-                                          all_unseen_vec, (out_h, out_w))
+                                          all_unseen_vec, (out_h, out_w),
+                                          mesh=mesh)
             hists = zeroshot_hists(labels, pred, num_classes,
                                    val_unseen_vec)
             return {"loss_sum": loss_sum, "hists": hists, "pred": pred,

@@ -83,6 +83,37 @@ def prefetch_to_device(loader, put, depth: int = 2):
         yield pair
 
 
+class StepLogBuffer:
+    """Deferred per-step log emission: fetching `aux` scalars right after a
+    dispatch blocks the host on the device queue (~30 ms RPC per fetch on
+    this platform, ~15% of a 204 ms step at log_interval=1). Instead the
+    tiny aux pytrees (scalars + an (n,n) hist) stay on device and are
+    fetched `flush_steps` at a time in one jax.device_get, so the device
+    runs ahead while every stdout/CSV/TB row is still emitted once per
+    logged iteration (reference cadence, trainer_fcn.py:160-178). stdout
+    rows appear in bursts of <= flush_steps; CSV timestamps are captured at
+    step time (host clock, no sync). flush_steps=1 restores the
+    reference-exact immediate behavior."""
+
+    def __init__(self, flush_steps: int, emit):
+        self._flush_steps = max(1, int(flush_steps))
+        self._emit = emit
+        self._pending: list = []
+
+    def push(self, meta: tuple, aux) -> None:
+        self._pending.append((meta, aux))
+        if len(self._pending) >= self._flush_steps:
+            self.flush()
+
+    def flush(self) -> None:
+        if not self._pending:
+            return
+        fetched = jax.device_get([aux for _, aux in self._pending])
+        pending, self._pending = self._pending, []
+        for (meta, _), aux in zip(pending, fetched):
+            self._emit(meta, aux)
+
+
 class FCNTrainer:
     def __init__(self, *, cfg, model, tx, params, train_loader, val_loader,
                  logger, embeddings=None, target_embeddings=None,
@@ -138,18 +169,19 @@ class FCNTrainer:
             model, tx, chunked_loss=getattr(cfg, "chunked_loss", False),
             grad_accum=getattr(cfg, "grad_accum", 1), **kw)
         # fused eval = the serving inference kernel inside validation; "auto"
-        # enables it on real TPU single-chip runs (interpret-mode pallas is
-        # slow on CPU; pallas under a GSPMD mesh is not yet exercised)
+        # enables it on real TPU runs, single-chip or mesh (the kernel is
+        # shard_mapped over the 'data' axis — ops/szn_fused._fused_call);
+        # interpret-mode pallas stays off on CPU where it's slow
         fe = getattr(cfg, "fused_eval", "auto")
-        fused = fe == "on" or (fe == "auto" and mesh is None
+        fused = fe == "on" or (fe == "auto"
                                and jax.default_backend() == "tpu")
         self._eval_step = make_fcn_eval_step(model, val_unseen_vec=val_unseen_vec,
-                                             fused=fused, **kw)
+                                             fused=fused, mesh=mesh, **kw)
         if self.zeroshot and emb is not None:
             self._szn_eval_step = make_szn_eval_step(
                 model, loss_name=cfg.fcn_loss, num_classes=n, embeddings=emb,
                 target_embeddings=temb, all_unseen_vec=all_unseen_vec,
-                val_unseen_vec=val_unseen_vec, fused=fused)
+                val_unseen_vec=val_unseen_vec, fused=fused, mesh=mesh)
         else:
             self._szn_eval_step = None
         self._dropout_key = jax.random.PRNGKey(cfg.seed)
@@ -167,11 +199,32 @@ class FCNTrainer:
                 {k: v for k, v in batch.items() if k != "ids"}, self.mesh)
         return _to_device(batch)
 
+    def _emit_train_row(self, meta: tuple, aux: dict) -> None:
+        epoch, batch_idx, it, elapsed = meta
+        log = self.logger
+        loss = float(aux["loss"])
+        if np.isnan(loss):
+            raise ValueError("loss is nan while training")  # ref :107
+        metrics = hist_to_metrics(np.asarray(aux["hist"]))
+        log.stdout(
+            "FCN Train Epoch {:<5} | Iteration {:<5} | Loss {:5.5f} | "
+            "score_fr grad sum {:15.6f} | score sum {:10.5f}".format(
+                epoch, batch_idx, loss,
+                float(aux["score_fr_grad_sum"]),
+                float(aux["score_sum"])))
+        log.csv_append("train_log.csv", TRAIN_HEADERS,
+                       [epoch, it, loss, *metrics, elapsed])
+        log.scalar("fcn/train/loss", loss, it)
+        log.scalars("fcn/train", list(_METRIC_NAMES), metrics, it)
+
     def train_epoch(self) -> None:
         self.train_loader.set_epoch(self.epoch)
         log = self.logger
         profiling = False
         feed = prefetch_to_device(self.train_loader, self._put)
+        it0 = int(self.state.step)  # one sync per epoch; steps add 1 each
+        buf = StepLogBuffer(getattr(self.cfg, "log_flush_steps", 16),
+                            self._emit_train_row)
         for batch_idx, (_, dbatch) in enumerate(feed):
             # optional jax.profiler window (skip step 0: compile noise)
             if (self.cfg.profile_steps and self.epoch == 0
@@ -188,22 +241,9 @@ class FCNTrainer:
                 profiling = False
             if batch_idx % self.cfg.log_interval:
                 continue
-            loss = float(aux["loss"])
-            if np.isnan(loss):
-                raise ValueError("loss is nan while training")  # ref :107
-            metrics = hist_to_metrics(np.asarray(aux["hist"]))
-            it = self.iteration - 1
-            log.stdout(
-                "FCN Train Epoch {:<5} | Iteration {:<5} | Loss {:5.5f} | "
-                "score_fr grad sum {:15.6f} | score sum {:10.5f}".format(
-                    self.epoch, batch_idx, loss,
-                    float(aux["score_fr_grad_sum"]),
-                    float(aux["score_sum"])))
-            log.csv_append("train_log.csv", TRAIN_HEADERS,
-                           [self.epoch, it, loss, *metrics,
-                            log.elapsed_seconds])
-            log.scalar("fcn/train/loss", loss, it)
-            log.scalars("fcn/train", list(_METRIC_NAMES), metrics, it)
+            buf.push((self.epoch, batch_idx, it0 + batch_idx,
+                      log.elapsed_seconds), aux)
+        buf.flush()
 
     def validate(self, *, both_fcn_and_seenmask: bool = False) -> float:
         """One full validation pass; returns overall mean-IoU.

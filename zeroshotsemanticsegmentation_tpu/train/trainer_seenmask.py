@@ -30,7 +30,8 @@ from zeroshotsemanticsegmentation_tpu.train.state import TrainState
 from zeroshotsemanticsegmentation_tpu.train.steps import (
     make_seenmask_eval_step, make_seenmask_train_step)
 from zeroshotsemanticsegmentation_tpu.train.trainer_fcn import (
-    _METRIC_NAMES, TRAIN_HEADERS, _to_device, prefetch_to_device, val_headers)
+    _METRIC_NAMES, TRAIN_HEADERS, StepLogBuffer, _to_device,
+    prefetch_to_device, val_headers)
 from zeroshotsemanticsegmentation_tpu.viz import (
     get_tile_image, save_image, visualize_seenmask)
 
@@ -76,30 +77,38 @@ class SeenmaskTrainer:
                 {k: v for k, v in batch.items() if k != "ids"}, self.mesh)
         return _to_device(batch)
 
+    def _emit_train_row(self, meta: tuple, aux: dict) -> None:
+        epoch, batch_idx, it, elapsed = meta
+        log = self.logger
+        loss = float(aux["loss"])
+        if np.isnan(loss):
+            raise ValueError("loss is nan while training")
+        metrics = hist_to_metrics(np.asarray(aux["hist"]))
+        log.stdout(
+            "Seenmask Train Epoch {:<5} | Iteration {:<5} | Loss {:5.5f} | "
+            "seenmask grad sum {:7.8f} | score sum {:10.5f}".format(
+                epoch, batch_idx, loss,
+                float(aux["seenmask_grad_sum"]), float(aux["score_sum"])))
+        log.csv_append("seenmask_train_log.csv", TRAIN_HEADERS,
+                       [epoch, it, loss, *metrics, elapsed])
+        log.scalar("seenmask/train/loss", loss, it)
+        log.scalars("seenmask/train", list(_METRIC_NAMES), metrics, it)
+
     def train_epoch(self) -> None:
         self.train_loader.set_epoch(1_000_000 + self.epoch)
         log = self.logger
         feed = prefetch_to_device(self.train_loader, self._put)
+        it0 = int(self.state.step)  # one sync per epoch; steps add 1 each
+        buf = StepLogBuffer(getattr(self.cfg, "log_flush_steps", 16),
+                            self._emit_train_row)
         for batch_idx, (_, dbatch) in enumerate(feed):
             self.state, aux = self._train_step(self.state, dbatch,
                                                self._dropout_key)
             if batch_idx % self.cfg.log_interval:
                 continue
-            loss = float(aux["loss"])
-            if np.isnan(loss):
-                raise ValueError("loss is nan while training")
-            metrics = hist_to_metrics(np.asarray(aux["hist"]))
-            it = self.iteration - 1
-            log.stdout(
-                "Seenmask Train Epoch {:<5} | Iteration {:<5} | Loss {:5.5f} | "
-                "seenmask grad sum {:7.8f} | score sum {:10.5f}".format(
-                    self.epoch, batch_idx, loss,
-                    float(aux["seenmask_grad_sum"]), float(aux["score_sum"])))
-            log.csv_append("seenmask_train_log.csv", TRAIN_HEADERS,
-                           [self.epoch, it, loss, *metrics,
-                            log.elapsed_seconds])
-            log.scalar("seenmask/train/loss", loss, it)
-            log.scalars("seenmask/train", list(_METRIC_NAMES), metrics, it)
+            buf.push((self.epoch, batch_idx, it0 + batch_idx,
+                      log.elapsed_seconds), aux)
+        buf.flush()
 
     def validate(self, *, base_checkpoint: dict | None = None) -> float:
         cfg, log = self.cfg, self.logger

@@ -38,115 +38,14 @@ SCALE = 0.25  # backbone width multiplier: keeps 6 CPU train steps ~seconds
 H = W = 64
 N_CLASS = 21
 
-_BLOCKS = [["conv1_1", "conv1_2"], ["conv2_1", "conv2_2"],
-           ["conv3_1", "conv3_2", "conv3_3"],
-           ["conv4_1", "conv4_2", "conv4_3"],
-           ["conv5_1", "conv5_2", "conv5_3"]]
-
-
-# --------------------------------------------------------------------------
-# torch side: independent implementation of the reference training semantics
-# --------------------------------------------------------------------------
-
-class TorchFCN(torch.nn.Module):
-    """Reference FCN32s semantics, parameterized from a Flax param tree."""
-
-    def __init__(self, flax_params):
-        super().__init__()
-        self.convs = torch.nn.ModuleDict()
-        for name, leaves in flax_params.items():
-            k = np.asarray(leaves["kernel"])  # HWIO
-            kh, kw, cin, cout = k.shape
-            pad = 100 if name == "conv1_1" else (
-                1 if name.startswith("conv") else 0)
-            conv = torch.nn.Conv2d(cin, cout, (kh, kw), padding=pad)
-            conv.weight.data = torch.from_numpy(
-                k.transpose(3, 2, 0, 1).copy())
-            conv.bias.data = torch.from_numpy(
-                np.asarray(leaves["bias"]).copy())
-            self.convs[name] = conv
-        for head in ("score_fr", "seenmask_score"):
-            c = self.convs[head].out_channels
-            up = bilinear_upsampling_kernel(c, 64, np.float32)  # HWIO
-            self.register_buffer(f"up_{head}", torch.from_numpy(
-                up.transpose(2, 3, 0, 1).copy()))  # IOHW
-
-    def forward(self, x, mode="fcn"):
-        hh, ww = x.shape[2], x.shape[3]
-        h = x
-        for block in _BLOCKS:
-            for name in block:
-                h = F.relu(self.convs[name](h))
-            h = F.max_pool2d(h, 2, stride=2, ceil_mode=True)
-        h = F.relu(self.convs["fc6"](h))
-        h = F.relu(self.convs["fc7"](h))
-        head = "score_fr" if mode == "fcn" else "seenmask_score"
-        s = self.convs[head](h)
-        f = F.conv_transpose2d(s, getattr(self, f"up_{head}"), stride=32)
-        return f[:, :, 19:19 + hh, 19:19 + ww]
-
-
-def torch_cosine_loss(score, target, target_embed):
-    """utils.py:75-102 semantics (old-torch norms had keepdim=True)."""
-    score = score / torch.norm(score, p=2, dim=1, keepdim=True)
-    target_embed = target_embed / torch.norm(target_embed, p=2, dim=1,
-                                             keepdim=True)
-    mask = target >= 0
-    mask_size = mask.sum()
-    cos = (score * target_embed).sum(dim=1)
-    return (mask_size - cos[mask].sum()) / mask_size
-
-
-def torch_cross_entropy2d(score, target, size_average=False):
-    """utils.py:19-48 semantics: masked NLL sum, optional /mask count."""
-    logp = F.log_softmax(score, dim=1).permute(0, 2, 3, 1)
-    mask = target >= 0
-    loss = F.nll_loss(logp[mask], target[mask], reduction="sum")
-    if size_average:
-        loss = loss / mask.sum()
-    return loss
-
-
-def torch_infer_lbl(score, embed):
-    """utils.py:159-185: NNE cosine argmax with the zero-norm guard."""
-    with torch.no_grad():
-        n, c, h, w = score.shape
-        s = score.permute(0, 2, 3, 1).reshape(h * w, c)
-        sims = s @ embed.t()
-        s_norm = torch.norm(s, p=2, dim=1, keepdim=True)
-        e_norm = torch.norm(embed, p=2, dim=1)[None, :].clone()
-        e_norm[e_norm == 0] = 1
-        return (sims / (s_norm * e_norm)).argmax(1).reshape(1, h, w).numpy()
-
-
-def torch_stage1_optimizer(model, optim, lr):
-    """train.py:125-133,302-331: conv weights base lr (+wd for sgd), biases
-    lr x2 never decayed, seenmask head and (fixed) upscores excluded."""
-    weights, biases = [], []
-    for name, conv in model.convs.items():
-        if name == "seenmask_score":
-            continue
-        weights.append(conv.weight)
-        biases.append(conv.bias)
-    groups = [{"params": weights},
-              {"params": biases, "lr": lr * 2, "weight_decay": 0.0}]
-    if optim == "sgd":
-        return torch.optim.SGD(groups, lr=lr, momentum=0.99,
-                               weight_decay=5e-4)
-    return torch.optim.Adam(groups, lr=lr)
-
+from torch_oracle import (  # noqa: E402 — tests dir module
+    TorchFCN, np_hist, torch_cosine_loss, torch_cross_entropy2d,
+    torch_infer_lbl, torch_infer_lbl_szn, torch_stage1_optimizer,
+    np_label_accuracy_score)
 
 # --------------------------------------------------------------------------
 # shared fixtures
 # --------------------------------------------------------------------------
-
-def np_hist(label, pred, n):
-    """Reference _fast_hist (utils.py:104-119)."""
-    label, pred = label.ravel(), pred.ravel()
-    valid = (label >= 0) & (label < n)
-    return np.bincount(n * label[valid].astype(np.int64) + pred[valid],
-                       minlength=n * n).reshape(n, n)
-
 
 def make_batches(rng, n_steps, *, frac_ignore=0.1):
     batches = []
@@ -357,3 +256,67 @@ def test_seenmask_stage_lockstep_with_torch_oracle():
             np.asarray(state.params[name]["kernel"]),
             init_params[name]["kernel"])
         assert tmodel.convs[name].weight.grad is None
+
+
+def test_szn_eval_path_lockstep_with_torch_oracle():
+    """The test_all validation path (reference Trainer.validate with
+    both_fcn_and_seenmask, trainer_fcn.py:123-147,222-244): forward_szn
+    stitched inference + the overall/seen/unseen histogram breakdown must
+    match the independent torch oracle from identical fp32 weights."""
+    from zeroshotsemanticsegmentation_tpu.ops.metrics import (
+        unseen_mask_vector)
+    from zeroshotsemanticsegmentation_tpu.train.steps import (
+        make_szn_eval_step)
+
+    rng = np.random.RandomState(3)
+    val_unseen = (6, 7, 10, 14)
+    model, params = init_shared(seed=2)
+    init_params = flax_to_numpy(params)
+    e = rng.randn(N_CLASS, 20).astype(np.float32)
+    embeddings = e / np.linalg.norm(e, axis=1, keepdims=True)
+    uv = unseen_mask_vector(N_CLASS, list(val_unseen))
+
+    step = make_szn_eval_step(
+        model, loss_name="cos", num_classes=N_CLASS,
+        embeddings=jnp.asarray(embeddings),
+        all_unseen_vec=jnp.asarray(uv), val_unseen_vec=jnp.asarray(uv))
+    tmodel = TorchFCN(init_params)
+    temb = torch.from_numpy(embeddings)
+
+    batches = make_batches(rng, 4)
+    jax_hists = np.zeros((3, N_CLASS, N_CLASS), np.int64)
+    jax_loss = 0.0
+    trues, preds = [], []
+    for img, lbl in batches:
+        out = step(params, jax_batch(img, lbl))
+        jax_hists += np.asarray(out["hists"])
+        jax_loss += float(out["loss_sum"])
+
+        x = torch.from_numpy(img.transpose(0, 3, 1, 2).copy())
+        with torch.no_grad():
+            fcn_score, seen_score = tmodel(x, mode="both")
+            tvec = embeddings[np.clip(lbl, 0, None)]
+            tloss = torch_cosine_loss(
+                fcn_score, torch.from_numpy(lbl.astype(np.int64)),
+                torch.from_numpy(tvec.transpose(0, 3, 1, 2).copy()))
+        pred = torch_infer_lbl_szn(fcn_score, seen_score, embeddings, uv)
+        trues.append(lbl)
+        preds.append(pred)
+        np.testing.assert_allclose(float(out["loss_sum"]), float(tloss),
+                                   rtol=1e-4)
+        flips = (np.asarray(out["pred"]) != pred).mean()
+        assert flips < 0.005, f"{flips:.4f} stitched predictions diverged"
+
+    torch_hists = np_label_accuracy_score(trues, preds, N_CLASS,
+                                          unseen=list(val_unseen))
+    # identical up to the fp argmax ties counted above
+    assert np.abs(jax_hists - torch_hists).sum() <= \
+        2 * 0.005 * len(batches) * H * W
+    # and the derived metric quadruples agree (NaN patterns included)
+    from zeroshotsemanticsegmentation_tpu.ops import hist_to_metrics
+    from torch_oracle import np_hist_to_metrics
+    for grp in range(3):
+        ours = np.asarray(hist_to_metrics(jax_hists[grp]), np.float64)
+        ref = np.asarray(np_hist_to_metrics(torch_hists[grp]), np.float64)
+        np.testing.assert_allclose(ours, ref, rtol=5e-3, atol=5e-3,
+                                   equal_nan=True)

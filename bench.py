@@ -224,7 +224,7 @@ def bench_train_loop() -> dict:
     from zeroshotsemanticsegmentation_tpu.utils import RunLogger
 
     n_batches = 16
-    cfg = get_config(14, batch_size=TRAIN_BATCH)
+    cfg = get_config(14, batch_size=TRAIN_BATCH, data_echo="auto")
     ds = SyntheticDataset(num_images=n_batches * TRAIN_BATCH,
                           num_classes=cfg.num_classes,
                           size_range=(384, 512), seed=0)
@@ -270,7 +270,9 @@ def bench_train_loop() -> dict:
         dt = time.perf_counter() - t0
         logger.close()
 
+    from zeroshotsemanticsegmentation_tpu.train.trainer_fcn import echo_feed
     img_per_s = n_batches * TRAIN_BATCH / dt
+    stats = echo_feed.last_stats or {}
     return {
         "metric": "fcn_train_loop_throughput",
         "value": round(img_per_s, 2),
@@ -278,6 +280,9 @@ def bench_train_loop() -> dict:
         "vs_baseline": round(img_per_s / TRAIN_BASELINE_IMG_S, 3),
         "batch": TRAIN_BATCH,
         "step_ms": round(dt / n_batches * 1e3, 2),
+        # H2D on this platform collapses to ~40 MB/s after the first big
+        # program (see CLAUDE.md); data echoing keeps the device stepping
+        "echo_factor": round(stats.get("echo_factor", 1.0), 2),
     }
 
 

@@ -252,3 +252,55 @@ def test_context_dataset_config(tmp_path):
     va = pd.read_csv(osp.join(out["log_dir"], "val_log.csv"))
     assert "val/unseen/mean_iu" in va.columns
     assert np.isfinite(va["val/loss"]).all()
+
+
+def test_echo_feed_semantics():
+    """Data echoing: serves exactly len(loader) batches, echoes only while
+    transfers are in flight, propagates put errors, reports stats."""
+    import time as _time
+    from zeroshotsemanticsegmentation_tpu.train.trainer_fcn import echo_feed
+
+    class Loader(list):
+        pass
+
+    class FakeDev:
+        """Mimics an in-flight jax.Array: ready after `delay` seconds."""
+
+        def __init__(self, i, delay=0.0):
+            self.i = i
+            self._ready_at = _time.monotonic() + delay
+
+        def is_ready(self):
+            return _time.monotonic() >= self._ready_at
+
+    loader = Loader(({"i": i} for i in range(6)))
+    # instantly-ready transfers: every batch fresh, zero echoes
+    out = list(echo_feed(loader, lambda b: {"x": FakeDev(b["i"])}))
+    assert len(out) == 6
+    assert [d["x"].i for _, d in out] == list(range(6))
+    assert echo_feed.last_stats["echoes"] == 0
+
+    # lagging transfers (is_ready stays False for a while): the pool
+    # serves echoes, iteration count preserved, hosts None on echoes
+    def slow_put(b):
+        return {"x": FakeDev(b["i"], delay=0.05)}
+
+    loader12 = Loader(({"i": i} for i in range(12)))
+    out = []
+    for item in echo_feed(loader12, slow_put):
+        out.append(item)
+        _time.sleep(0.01)  # a fast "step"
+    assert len(out) == 12
+    assert echo_feed.last_stats["served"] == 12
+    assert echo_feed.last_stats["echoes"] > 0
+    assert any(hb is None for hb, _ in out)
+
+    # put errors propagate
+    def bad_put(b):
+        raise RuntimeError("boom")
+
+    try:
+        list(echo_feed(Loader([{"i": 0}]), bad_put))
+        raise AssertionError("expected RuntimeError")
+    except RuntimeError:
+        pass

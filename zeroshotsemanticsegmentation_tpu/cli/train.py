@@ -307,6 +307,9 @@ def _parse_args(argv=None):
                    help="per-sample loss memory chunking (larger batches)")
     p.add_argument("--grad_accum", type=int,
                    help="microbatches per train step (larger batches)")
+    p.add_argument("--data_echo", type=str, choices=["off", "auto"],
+                   help="device-side batch echoing when H2D can't keep up "
+                        "(trainer_fcn.echo_feed; default off)")
     p.add_argument("--vgg16", type=str, default=None,
                    help="path to a torch VGG16 state dict (.pth)")
     return p.parse_args(argv)
@@ -333,7 +336,8 @@ def main(argv=None) -> dict:
                      ("data_parallel", "data_parallel"),
                      ("model_parallel", "model_parallel"),
                      ("channel_scale", "channel_scale"),
-                     ("grad_accum", "grad_accum")]:
+                     ("grad_accum", "grad_accum"),
+                     ("data_echo", "data_echo")]:
         v = getattr(args, src)
         if v is not None:
             overrides[dst] = v

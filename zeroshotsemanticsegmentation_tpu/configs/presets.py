@@ -60,6 +60,11 @@ class Config:
     grad_accum: int = 1                    # microbatches per step (big batches)
     fused_eval: str = "auto"               # serving-kernel eval: auto|on|off
     compact_feed: bool = True              # uint8/int8 host feed, device-side normalize
+    # "auto": device-side data echoing — reuse resident batches whenever
+    # host->device transfer can't keep up with the step rate (this
+    # platform's link drops to ~40 MB/s after the first big program; see
+    # trainer_fcn.echo_feed). "off" = reference-exact sample schedule.
+    data_echo: str = "off"
     profile_steps: int = 0                 # >0: jax.profiler trace of N steps
 
     @property
@@ -158,6 +163,8 @@ def validate_config(cfg: Config) -> None:
         raise ValueError("mesh axes must be >= 1")
     if cfg.batch_size % cfg.data_parallel or cfg.eval_batch_size % cfg.data_parallel:
         raise ValueError("batch sizes must divide by data_parallel")
+    if cfg.data_echo not in ("off", "auto"):
+        raise ValueError(f"unknown data_echo {cfg.data_echo!r}")
     if len(cfg.bucket) != 2 or min(cfg.bucket) < 1:
         raise ValueError(f"bucket must be two positive ints, got {cfg.bucket}")
 

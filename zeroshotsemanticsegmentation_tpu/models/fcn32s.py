@@ -121,12 +121,15 @@ def _max_pool_ceil(x: jnp.ndarray) -> jnp.ndarray:
     """2×2/2 max-pool with ceil_mode=True (reference models.py:47 etc.).
 
     Odd spatial dims are right/bottom padded (with -inf, inside nn.max_pool)
-    so the trailing row/col forms its own window.
+    so the trailing row/col forms its own window. Stays on nn.max_pool /
+    select-and-scatter: three replacement backwards were measured slower
+    in-context (ops/pool.py docstring + PLAN.md shelved findings) because
+    the S&S fuses with the surrounding backward while custom formulations
+    add unfusable pad/reshape traffic.
     """
-    ph = (-x.shape[1]) % 2
-    pw = (-x.shape[2]) % 2
     return nn.max_pool(x, (2, 2), strides=(2, 2),
-                       padding=((0, ph), (0, pw)))
+                       padding=((0, (-x.shape[1]) % 2),
+                                (0, (-x.shape[2]) % 2)))
 
 
 class FCN32s(nn.Module):

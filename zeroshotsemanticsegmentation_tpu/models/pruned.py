@@ -177,7 +177,8 @@ def prunable(in_h: int, in_w: int) -> bool:
     return min(in_h, in_w) >= _MIN_SIDE
 
 
-def run_pruned_blocks(kbs, x, pad1: int, dtype, fused_block1: bool = False):
+def run_pruned_blocks(kbs, x, pad1: int, dtype, fused_block1: bool = False,
+                      conv_relu=None):
     """Run the first len(kbs) VGG blocks (conv/relu stacks + 2x2 ceil pools)
     of the pad-100 geometry on the receptive-field support only.
 
@@ -190,6 +191,10 @@ def run_pruned_blocks(kbs, x, pad1: int, dtype, fused_block1: bool = False):
         (ops/block1_fused.py; forward-optimized, backward recomputes via
         XLA — serving/eval only). Falls back automatically when the
         geometry or width is unsupported.
+      conv_relu: optional (a, k, b) -> activations hook replacing the
+        VALID-conv+relu of the data path (e.g. models.quantized's int8
+        conv); the frame probe and ring-constant chain stay fp — the
+        zero-input response must be exact for the geometry argument.
 
     Returns the *full* virtual pool{len(kbs)} array, numerically equal to
     the plain pad-100 path. Callers must have validated the geometry with
@@ -197,6 +202,12 @@ def run_pruned_blocks(kbs, x, pad1: int, dtype, fused_block1: bool = False):
     """
     B, H, W, _ = x.shape
     num_blocks = len(kbs)
+    if conv_relu is None:
+        def conv_relu(a, k, b):
+            return nn.relu(_conv_valid(a, k.astype(dtype))
+                           + b.astype(dtype))
+    else:
+        fused_block1 = False  # the hook replaces every data-path conv
 
     def plain_stack(h):
         for bi, blk in enumerate(kbs):
@@ -266,7 +277,7 @@ def run_pruned_blocks(kbs, x, pad1: int, dtype, fused_block1: bool = False):
                 s0 - 2 >= rim and s0 + a.shape[1] + 2 + rim <= vh
                 and s0 + a.shape[2] + 2 + rim <= vw), (bi, ci, s0, rim)
             a = _padc(a, c, 2, 2, 2, 2)
-            a = nn.relu(_conv_valid(a, k.astype(dtype)) + b.astype(dtype))
+            a = conv_relu(a, k, b)
             s0 += (pad1 - 2) if first else -1
             # interior zero-input response: relu(sum_taps K c + b); fp32
             # accumulation mirrors the MXU conv (reduction order aside)
@@ -292,6 +303,10 @@ def run_pruned_blocks(kbs, x, pad1: int, dtype, fused_block1: bool = False):
         rim = -(-rim // 2)
     assert rim <= _FRAME_RIM, rim
 
-    frame = assemble_frame(probe, vh, vw)
+    # a conv_relu hook may run the data path in a narrower dtype than the
+    # fp ring/frame chain (e.g. int8 serving keeps bf16 activations); the
+    # frame constants round to that dtype — negligible next to the hook's
+    # own approximation, and a no-op for the standard path
+    frame = assemble_frame(probe, vh, vw).astype(a.dtype)
     full = jnp.broadcast_to(frame[None], (B,) + frame.shape)
     return jax.lax.dynamic_update_slice(full, a, (0, s0, s0, 0))

@@ -22,12 +22,16 @@ from zeroshotsemanticsegmentation_tpu.ops.szn_fused import (
 
 
 def make_szn_predictor(model, params, embeddings, unseen_classes,
-                       *, mesh=None, spatial=False):
+                       *, mesh=None, spatial=False, int8=False):
     """Returns predict(images (B,H,W,3) float32 BGR-mean-sub) -> (B,H,W) int32.
 
     `unseen_classes`: class ids routed to the unseen partition (the trained
     seenmask head gates per pixel). With `mesh`, batches shard over 'data'
     and fc6/fc7 over 'model' (see parallel.mesh).
+
+    `int8=True` swaps the backbone for the quantized int8 forward
+    (models/quantized.py — opt-in, approximate; validate flip rate vs the
+    bf16 path on your data before enabling in production).
 
     `spatial=True` (requires `mesh`) shards the image *height* over the
     'data' axis instead of the batch — spatial parallelism for huge images
@@ -58,7 +62,13 @@ def make_szn_predictor(model, params, embeddings, unseen_classes,
         from zeroshotsemanticsegmentation_tpu.data.transforms import (
             prepare_images)
         images = prepare_images(images)  # uint8 RGB accepted (compact feed)
-        f_raw, s_raw = model.apply({"params": params}, images, mode="raw")
+        if int8:
+            from zeroshotsemanticsegmentation_tpu.models.quantized import (
+                quantized_raw_forward)
+            f_raw, s_raw = quantized_raw_forward(params, images)
+        else:
+            f_raw, s_raw = model.apply({"params": params}, images,
+                                       mode="raw")
         return infer_labels_szn_fused(
             f_raw, s_raw, embed, unseen_vec,
             (images.shape[1], images.shape[2]), mesh=kernel_mesh)

@@ -5,10 +5,10 @@ C=64 half-fills the 128 lanes and XLA runs it at ~14% MXU on v5e (11.4 ms
 of a 36.4 ms B=16 forward, measured in isolation). This implementation
 packs BOTH spatial parities into the lane dimension:
 
-* conv1_1 emits the packed layout *directly* from its own Pallas kernel
-  (`conv1_1_pairs`, a space-to-depth matmul formulation — see the comment
-  block below): output lane is (column parity, channel) and no relayout
-  ever happens in HBM.
+* conv1_1 emits the packed layout *directly*: a stride-(1,2) XLA conv with
+  a (3,4,3,128) kernel whose output lane is (column parity, channel) — no
+  relayout ever happens in HBM. (A Pallas s2d formulation of conv1_1 was
+  measured slower; kept below as `conv1_1_pairs` with its oracle test.)
 * the Pallas kernel computes conv1_2 with output lanes = (row parity,
   channel): each of 16 (2 col-parities x 8) taps is a dense
   (M,128)@(128,128) matmul — full K/N occupancy, 56% of issued MACs real
@@ -79,6 +79,19 @@ def fused_block1_supported(hp: int, wp: int, channels: int = 64,
     return _plan_tiles(ch // 2, pairs_p, jnp.dtype(dtype).itemsize) is not None
 
 
+def _pack_k1_pairs(k1):
+    """(3,3,3,co) -> (3,4,3,2*co): stride-(1,2) conv kernel emitting
+    [even col out | odd col out] lanes (out col pair Q reads in cols
+    2Q + e + dw, a 4-wide window)."""
+    z = jnp.zeros_like(k1[:, 0])                    # (3, 3, co)
+    cols = []
+    for j in range(4):
+        even = k1[:, j] if j < 3 else z
+        odd = k1[:, j - 1] if j >= 1 else z
+        cols.append(jnp.concatenate([even, odd], axis=-1))
+    return jnp.stack(cols, axis=1)                  # (3, 4, 3, 2co)
+
+
 def _pack_k2_taps(k2):
     """(3,3,ci,co) -> (2, 8, 2*ci, 2*co) tap matrices.
 
@@ -104,14 +117,13 @@ def _pack_k2_taps(k2):
 
 
 # --------------------------------------------------------------------------
-# conv1_1: space-to-depth Pallas kernel (the Cin=3 wall)
+# conv1_1: space-to-depth Pallas kernel (EXPERIMENT — measured slower)
 # --------------------------------------------------------------------------
 #
-# A plain XLA conv runs conv1_1 at ~2% MXU (contraction 3x3x3=27; measured
-# 4.8 ms of the B=16 serving forward) and a 2x2x12->256 space-to-depth XLA
-# conv is no better (6.9 ms) — XLA's conv lowering can't save a Cin this
-# small. This kernel reformulates conv1_1 as ONE dense matmul per output
-# row-pair:
+# A plain XLA conv runs conv1_1 at ~2% MXU (contraction 3x3x3=27) and a
+# 2x2x12->256 space-to-depth XLA conv is no better — XLA's conv lowering
+# can't save a Cin this small. This kernel reformulates conv1_1 as ONE
+# dense matmul per output row-pair:
 #
 # * input is space-to-depth'd on the XLA side to (B, row-pairs, 32, W/2)
 #   with sublane = (col-shift dQ, row-parity ei, col-parity ej, ci padded
@@ -126,8 +138,14 @@ def _pack_k2_taps(k2):
 #   packed-pair c11p rows 2R and 2R+1 — the kernel writes the layout the
 #   conv1_2 kernel consumes, and no relayout ever exists.
 #
-# K occupancy 64/128 with 27/64 real taps and full N=256: ~4.2x the MACs
-# the XLA conv sustains (measured 4.78 -> ~1.1 ms at B=16 530^2).
+# MEASURED (dependent-chain, B=16 530^2, v5e): 5.60 ms vs 3.32 ms for the
+# XLA stride-(1,2) packed conv — the per-row-pair (64,W/2)@(64,256) dots
+# are latency-bound (~4200 tiny MXU ops per batch), so fused_block1 keeps
+# the XLA conv1_1. Kept (with its oracle test) as the reference s2d
+# formulation. The chain microbench (scripts/bench_block1.py) also shows
+# the c11p HBM round-trip between the two stages costs ~5 ms at B=16 —
+# the next lever is fusing conv1_1 into the conv1_2 kernel so c11p never
+# exists in HBM, not a faster standalone conv1_1.
 
 
 def _pack_k1_s2d(k1):
@@ -322,8 +340,8 @@ def fused_block1(xp, k1, b1, k2, b2, *, dtype=jnp.bfloat16):
 
     xp: (B, Hp, Wp, 3) zero-padded input; returns
     (B, (Hp-4)//2, (Wp-4)//2, 64). Requires fused_block1_supported(Hp, Wp).
-    conv1_1 runs in its own s2d Pallas kernel emitting the width-paired
-    layout directly; conv1_2 + pool run in the second kernel.
+    conv1_1 runs in XLA (2% of block FLOPs), emitting the width-paired
+    layout directly; conv1_2 + pool run in the Pallas kernel.
     """
     B, hp, wp, _ = xp.shape
     ch, cw = hp - 4, wp - 4
@@ -337,9 +355,12 @@ def fused_block1(xp, k1, b1, k2, b2, *, dtype=jnp.bfloat16):
     # the extra area extends the zero-pad region and is never read back
     xp = jnp.pad(xp, ((0, 0), (0, 2 * (ph_pad - ph)),
                       (0, 2 * (pairs_p - pairs)), (0, 0)))
-    # c11p: (B, 2*ph_pad + 2, pairs_p, 128) straight from the s2d kernel
-    # (pp = (wp'-2)/2 = pairs + (pairs_p - pairs) = pairs_p by construction)
-    c11p = conv1_1_pairs(xp, k1, b1, dtype=dtype)
+    c11p = jax.lax.conv_general_dilated(
+        xp.astype(dtype), _pack_k1_pairs(k1).astype(dtype), (1, 2),
+        ((0, 0), (0, 0)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    c11p = jnp.maximum(
+        c11p + jnp.concatenate([b1, b1]).astype(dtype), 0)
+    # c11p: (B, 2*ph_pad + 2, pairs_p, 128)
 
     q = pairs - 1
     n_tiles = ph_pad // tp

@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from zeroshotsemanticsegmentation_tpu.ops.bilinear import upsample_bilinear_cropped
+from zeroshotsemanticsegmentation_tpu.ops.conv7x7 import conv_valid_mmgrad
 from zeroshotsemanticsegmentation_tpu.models.pruned import (
     NUM_PRUNED_BLOCKS, NUM_PRUNED_BLOCKS_SKIP, plan_blocks, prunable,
     run_pruned_blocks)
@@ -53,26 +54,39 @@ _VGG_BLOCKS = (
 
 
 class _ConvParams(nn.Module):
-    """Bare 3x3 conv parameters with nn.Conv's exact shapes and initializers.
+    """Bare conv parameters with nn.Conv's exact shapes and initializers.
 
-    Used by the support-pruned path so its param tree (convN_M with HWIO
-    kernel + bias) is bit-compatible with the nn.Conv modules of the plain
-    path — checkpoints, VGG import, and optimizer label trees see no
-    difference.
+    Used by the support-pruned path (and fc6's custom-backward conv) so the
+    param tree (HWIO kernel + bias) is bit-compatible with the nn.Conv
+    modules of the plain path — checkpoints, VGG import, and optimizer
+    label trees see no difference.
     """
 
     features: int
     in_features: int
     param_dtype: Any = jnp.float32
+    kernel_size: tuple = (3, 3)
 
     @nn.compact
     def __call__(self):
         k = self.param("kernel", nn.initializers.lecun_normal(),
-                       (3, 3, self.in_features, self.features),
+                       self.kernel_size + (self.in_features, self.features),
                        self.param_dtype)
         b = self.param("bias", nn.initializers.zeros_init(),
                        (self.features,), self.param_dtype)
         return k, b
+
+
+def fc6_conv(mdl, h):
+    """fc6: 7x7 VALID conv (reference models.py:84) through the
+    padding-free-backward op (ops/conv7x7.py) — the full-conv input grad
+    XLA emits for it burns 13.5 ms/step at B=24 multiplying pad zeros.
+    Params are bit-compatible with the nn.Conv the plain helper creates."""
+    k, bias = _ConvParams(features=mdl.width(4096), in_features=h.shape[-1],
+                          kernel_size=(7, 7), param_dtype=mdl.param_dtype,
+                          name="fc6")()
+    return (conv_valid_mmgrad(h.astype(mdl.dtype), k.astype(mdl.dtype))
+            + bias.astype(mdl.dtype))
 
 
 def _conv_nhwc(x, k, padding):
@@ -193,7 +207,7 @@ class FCN32s(nn.Module):
         for bi in range(start_block, len(_VGG_BLOCKS)):
             h = run_block(self, h, bi)
 
-        h = nn.relu(conv(h, "fc6", width(4096), (7, 7), "VALID"))
+        h = nn.relu(fc6_conv(self, h))
         h = nn.Dropout(self.dropout_rate, broadcast_dims=(1, 2),
                        deterministic=not train)(h)
         h = nn.relu(conv(h, "fc7", width(4096), (1, 1), "VALID"))

@@ -28,7 +28,8 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from zeroshotsemanticsegmentation_tpu.models.fcn32s import (
-    _PAD_CONV1, _VGG_BLOCKS, _max_pool_ceil, run_blocks_maybe_pruned)
+    _PAD_CONV1, _VGG_BLOCKS, _max_pool_ceil, fc6_conv,
+    run_blocks_maybe_pruned)
 from zeroshotsemanticsegmentation_tpu.models.pruned import (
     NUM_PRUNED_BLOCKS_SKIP)
 from zeroshotsemanticsegmentation_tpu.ops.bilinear import (
@@ -92,7 +93,7 @@ class FCN8s(nn.Module):
             pools[bi] = h
         pool3, pool4 = pools[2], pools[3]
 
-        h = nn.relu(conv(h, "fc6", width(4096), (7, 7), "VALID"))
+        h = nn.relu(fc6_conv(self, h))
         h = nn.Dropout(self.dropout_rate, broadcast_dims=(1, 2),
                        deterministic=not train)(h)
         h = nn.relu(conv(h, "fc7", width(4096), (1, 1), "VALID"))

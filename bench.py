@@ -122,7 +122,10 @@ def bench_train() -> dict:
     from zeroshotsemanticsegmentation_tpu.train.steps import (
         make_fcn_train_step)
 
-    model = FCN32s(num_classes=20, dtype=jnp.bfloat16)
+    # fused_block1: the Pallas kernel pair now covers training too — the
+    # flash-style backward replaces XLA's conv igrad/wgrad +
+    # select-and-scatter (204 -> 190 ms/step at B=24, MFU 69.2%)
+    model = FCN32s(num_classes=20, dtype=jnp.bfloat16, fused_block1=True)
     rng = np.random.RandomState(0)
     batch = {
         "image": jnp.asarray(
@@ -248,7 +251,8 @@ def bench_train_loop() -> dict:
             return iter(self._batches)
 
     loader = Replay(batches, ds)
-    model = FCN32s(num_classes=cfg.head_channels, dtype=jnp.bfloat16)
+    model = FCN32s(num_classes=cfg.head_channels, dtype=jnp.bfloat16,
+                   fused_block1=True)
     sample = jnp.zeros((1, H, W, 3), jnp.float32)
     params = jax.jit(lambda: model.init(jax.random.PRNGKey(0), sample,
                                         mode="both"))()["params"]

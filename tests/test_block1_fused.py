@@ -42,8 +42,8 @@ def test_fused_block1_matches_xla(rng, hw):
 
 
 def test_block1_op_differentiable(rng):
-    """custom_vjp backward = XLA path's gradients."""
-    xp = jnp.asarray(rng.randn(1, 78, 78, 3).astype(np.float32))
+    """Pallas backward kernel == XLA path's gradients (k2 only, legacy)."""
+    xp = jnp.asarray(rng.randn(1, 30, 30, 3).astype(np.float32))
     k1, b1, k2, b2 = _params(rng)
 
     def loss_fused(k2_):
@@ -57,6 +57,35 @@ def test_block1_op_differentiable(rng):
     g_xla = jax.grad(loss_xla)(k2)
     np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_xla),
                                rtol=1e-4, atol=1e-3)
+
+
+@pytest.mark.parametrize("hw", [(30, 34),   # qpad+1 <= pairs_p (no colpad)
+                                (30, 26)])  # qpad+1 == pairs_p+1 (the 512^2
+                                            # bucket's one-column overhang)
+def test_block1_backward_all_grads(rng, hw):
+    """The flash-style Pallas backward (_conv2_pool_bwd) == XLA autodiff
+    for EVERY input: conv1_1 kernel/bias (via the packed-conv transpose),
+    conv1_2 kernel/bias (via the tap-matmul kernel), and the input image
+    (via dc11p). Weighted-sum loss exercises non-uniform cotangents."""
+    hp, wp = hw
+    xp = jnp.asarray(rng.randn(2, hp, wp, 3).astype(np.float32))
+    k1, b1, k2, b2 = _params(rng)
+    gseed = jnp.asarray(rng.randn(
+        2, (hp - 4) // 2, (wp - 4) // 2, 64).astype(np.float32))
+
+    def loss(fn, k1_, b1_, k2_, b2_, xp_):
+        return jnp.sum(fn(xp_, k1_, b1_, k2_, b2_, dtype=jnp.float32)
+                       * gseed)
+
+    args = (k1, b1, k2, b2, xp)
+    got = jax.grad(functools.partial(loss, bf.fused_block1),
+                   argnums=(0, 1, 2, 3, 4))(*args)
+    want = jax.grad(functools.partial(loss, bf.xla_block1),
+                    argnums=(0, 1, 2, 3, 4))(*args)
+    for name, a, b in zip(("k1", "b1", "k2", "b2", "xp"), got, want):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        rel = np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-12)
+        assert rel < 1e-4, (name, rel)
 
 
 def test_supported_gate():

@@ -125,9 +125,15 @@ def run_experiment(cfg, *, preset: int = 0, name: str | None = None,
     # 3. model + init
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     model_cls = FCN8s if cfg.arch == "fcn8s" else FCN32s
+    # "auto" gates on single-chip TPU: GSPMD can't partition the pallas_call
+    # inside the model body (the eval/serving kernel is shard_mapped
+    # explicitly, but block 1 runs under pjit) — mesh runs keep XLA block 1
+    fb1 = cfg.fused_block1 == "on" or (cfg.fused_block1 == "auto"
+                                       and jax.default_backend() == "tpu"
+                                       and mesh is None)
     model = model_cls(num_classes=cfg.head_channels, dtype=dtype,
                       channel_scale=cfg.channel_scale, remat=cfg.remat,
-                      prune_pad=cfg.prune_pad)
+                      prune_pad=cfg.prune_pad, fused_block1=fb1)
     sample = jnp.zeros((1, cfg.bucket[0], cfg.bucket[1], 3), jnp.float32)
     params = jax.jit(
         lambda: model.init(jax.random.PRNGKey(cfg.seed), sample,

@@ -59,6 +59,11 @@ class Config:
     chunked_loss: bool = False             # per-sample loss (big batches)
     grad_accum: int = 1                    # microbatches per step (big batches)
     fused_eval: str = "auto"               # serving-kernel eval: auto|on|off
+    # "auto": route block 1 through the Pallas fused kernel pair (forward
+    # conv1_2+pool, flash-style backward — ops/block1_fused.py) on TPU for
+    # BOTH training and eval; 204 -> 190 ms/step at B=24 512^2. "off" keeps
+    # the plain XLA block; interpret-mode Pallas stays off on CPU.
+    fused_block1: str = "auto"
     compact_feed: bool = True              # uint8/int8 host feed, device-side normalize
     # "auto": device-side data echoing — reuse resident batches whenever
     # host->device transfer can't keep up with the step rate (this
@@ -165,6 +170,8 @@ def validate_config(cfg: Config) -> None:
         raise ValueError("batch sizes must divide by data_parallel")
     if cfg.data_echo not in ("off", "auto"):
         raise ValueError(f"unknown data_echo {cfg.data_echo!r}")
+    if cfg.fused_block1 not in ("off", "on", "auto"):
+        raise ValueError(f"unknown fused_block1 {cfg.fused_block1!r}")
     if len(cfg.bucket) != 2 or min(cfg.bucket) < 1:
         raise ValueError(f"bucket must be two positive ints, got {cfg.bucket}")
 

@@ -165,9 +165,11 @@ class FCN32s(nn.Module):
     channel_scale: float = 1.0  # <1 shrinks all backbone widths (tests/dryruns)
     remat: bool = False  # rematerialize conv blocks (larger train batches)
     prune_pad: bool = True  # support-pruned pad-100 blocks 1-4 (exact)
-    # serving/eval-only: Pallas conv1_2+pool kernel for block 1 (forward
-    # 13.55 -> 11.1 ms at B=16 512^2; backward recomputes via XLA, so keep
-    # it off for training)
+    # Pallas fused block-1 kernel pair (ops/block1_fused.py): forward
+    # conv1_2+pool (13.55 -> 11.1 ms at B=16 512^2 serving) AND a
+    # flash-style recompute backward (train step 204 -> 190 ms at B=24).
+    # Default False because interpret-mode Pallas is slow on CPU; the CLI
+    # and bench enable it on TPU (cfg.fused_block1="auto").
     fused_block1: bool = False
 
     def width(self, f: int) -> int:

@@ -48,7 +48,7 @@ class FCN8s(nn.Module):
     channel_scale: float = 1.0
     remat: bool = False  # rematerialize conv blocks (larger train batches)
     prune_pad: bool = True  # support-pruned pad-100 blocks 1-3 (exact)
-    fused_block1: bool = False  # serving/eval-only Pallas block-1 kernel
+    fused_block1: bool = False  # Pallas block-1 kernel pair (fwd + bwd)
 
     def width(self, f: int) -> int:
         return max(8, int(f * self.channel_scale))

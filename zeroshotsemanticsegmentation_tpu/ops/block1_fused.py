@@ -29,10 +29,11 @@ block-1 segment is exactly plain VALID convs on a zero-padded input
 (see models/pruned.py). `fused_block1_supported` gates the geometries this
 grid handles; callers fall back to the XLA path otherwise.
 
-`block1_op` wraps the pair in jax.custom_vjp whose backward recomputes
-through the XLA reference implementation, so the op stays differentiable
-(training keeps the plain path by default — the recompute would cancel the
-forward win there).
+`block1_op` is differentiable end-to-end: conv1_1's packed-kernel grads
+come from XLA autodiff, and conv1_2/pool grads from a second Pallas kernel
+(`_conv2_pool_bwd`) that recomputes the tap accumulators per tile
+flash-style instead of materializing the conv1_2 volume — so the fused
+path serves BOTH serving and training (see the backward section below).
 """
 
 from __future__ import annotations
@@ -71,12 +72,21 @@ def _plan_tiles(ph: int, pairs_p: int, itemsize: int = 2):
 
 def fused_block1_supported(hp: int, wp: int, channels: int = 64,
                            dtype=jnp.bfloat16) -> bool:
-    """xp is (B, hp, wp, 3); conv outputs (hp-4, wp-4) must pool evenly."""
+    """xp is (B, hp, wp, 3); conv outputs (hp-4, wp-4) must pool evenly.
+
+    Requires VMEM plans for BOTH the forward kernel and the backward
+    kernel (the op is differentiable; a geometry whose backward can't tile
+    would fail only at grad-trace time otherwise)."""
     ch, cw = hp - 4, wp - 4
     if channels != 64 or ch <= 0 or cw <= 0 or ch % 2 or cw % 2:
         return False
-    pairs_p = -(-((cw + 2) // 2 + 4) // 8) * 8
-    return _plan_tiles(ch // 2, pairs_p, jnp.dtype(dtype).itemsize) is not None
+    pairs = (cw + 2) // 2
+    pairs_p = -(-(pairs + 4) // 8) * 8
+    itemsize = jnp.dtype(dtype).itemsize
+    plan = _plan_tiles(ch // 2, pairs_p, itemsize)
+    if plan is None:
+        return False
+    return _plan_bwd(plan[1], pairs_p, pairs - 1, itemsize) is not None
 
 
 def _pack_k1_pairs(k1):
@@ -335,13 +345,53 @@ def _kernel(c11_hbm, k2_ref, b2_ref, out_ref, buf, sems,
         q0 += qc
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _conv2_pool(c11p, k2p, b2p, q, pairs_p, ph_pad, dtype):
+    """Pallas conv1_2 + relu + 2x2 pool on the packed-pair layout.
+
+    c11p: (B, 2*ph_pad + 2, pairs_p, 128) post-relu packed conv1_1 output;
+    k2p: (2, 8, 128, 128) packed taps; b2p: (1, 128). Returns
+    (B, ph_pad, q, 64). Differentiable: the backward is a second Pallas
+    kernel (flash-style — it recomputes the tap accumulators per tile
+    instead of saving the 546 MB conv1_2 volume; see _conv2_pool_bwd).
+    """
+    return _conv2_pool_fwd_impl(c11p, k2p, b2p, q, pairs_p, ph_pad, dtype)
+
+
+def _conv2_pool_fwd_impl(c11p, k2p, b2p, q, pairs_p, ph_pad, dtype):
+    B = c11p.shape[0]
+    tp = _plan_tiles(ph_pad, pairs_p, jnp.dtype(dtype).itemsize)[0]
+    n_tiles = ph_pad // tp
+    kern = functools.partial(_kernel, tp=tp, q=q, pairs_p=pairs_p,
+                             n_tiles=n_tiles, dtype=dtype)
+    return pl.pallas_call(
+        kern,
+        grid=(B, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),      # c11p stays in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # k2 (2, 8, 128, 128)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # b2 (1, 128)
+        ],
+        out_specs=pl.BlockSpec((1, tp, q, 64), lambda b, t: (b, t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, ph_pad, q, 64), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, 2 * tp + 2, pairs_p, 128), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )(c11p, k2p, b2p)
+
+
 def fused_block1(xp, k1, b1, k2, b2, *, dtype=jnp.bfloat16):
     """conv1_1(VALID) + relu + conv1_2(VALID) + relu + 2x2/2 max-pool.
 
     xp: (B, Hp, Wp, 3) zero-padded input; returns
     (B, (Hp-4)//2, (Wp-4)//2, 64). Requires fused_block1_supported(Hp, Wp).
     conv1_1 runs in XLA (2% of block FLOPs), emitting the width-paired
-    layout directly; conv1_2 + pool run in the Pallas kernel.
+    layout directly; conv1_2 + pool run in the Pallas kernel. The whole
+    composite is differentiable: conv1_1 grads come from XLA autodiff
+    (incl. the packed-kernel/bias transposes), conv1_2/pool grads from the
+    Pallas backward kernel.
     """
     B, hp, wp, _ = xp.shape
     ch, cw = hp - 4, wp - 4
@@ -363,30 +413,258 @@ def fused_block1(xp, k1, b1, k2, b2, *, dtype=jnp.bfloat16):
     # c11p: (B, 2*ph_pad + 2, pairs_p, 128)
 
     q = pairs - 1
-    n_tiles = ph_pad // tp
-    kern = functools.partial(_kernel, tp=tp, q=q, pairs_p=pairs_p,
-                             n_tiles=n_tiles, dtype=dtype)
-    out = pl.pallas_call(
+    out = _conv2_pool(c11p, _pack_k2_taps(k2).astype(dtype),
+                      jnp.concatenate([b2, b2]).reshape(1, -1).astype(
+                          jnp.float32),
+                      q, pairs_p, ph_pad, dtype)
+    return out[:, :ph, :pw, :]
+
+
+# --------------------------------------------------------------------------
+# Backward Pallas kernel: flash-style recompute of conv1_2 + pool
+# --------------------------------------------------------------------------
+#
+# Training needs d(k2), d(b2) and d(c11p) from the pool-output cotangent g.
+# The naive route materializes the 546 MB/batch conv1_2 volume (relu + pool
+# masks) that the forward kernel exists to avoid; XLA's formulation of this
+# backward (conv igrad + wgrad + select-and-scatter + two bias reductions)
+# measures ~27 ms of a B=24 512^2 train step. This kernel instead recomputes
+# the 16 packed-tap fp32 accumulators per tile — bitwise identical to the
+# forward (same taps, same order, same K=128 contractions), so the pool
+# first-max routing and relu masks are exact — then computes all three
+# gradients from VMEM-resident dz:
+#
+# * routing: first-max in the original row-major window scan order
+#   ((2r,2c),(2r,2c+1),(2r+1,2c),(2r+1,2c+1)), matching XLA
+#   select-and-scatter / torch MaxPool2d tie-breaking (ops/pool.py), then
+#   relu'(pre > 0) (jax.nn.relu semantics: zero subgradient at 0).
+# * dK[eo,tap] += dz_eo^T @ lhs (one dz transpose per parity, accumulated
+#   fp32 in a VMEM-resident output block across the whole grid; emitted
+#   transposed, un-transposed on the XLA side).
+# * d(c11p): per tap dz_eo @ K^T, placed by value-level zero-pads (row
+#   shift dh//2, column shift po) — no unaligned ref stores. Tiles emit
+#   overlapping (tp+1)-pair segments; the XLA side overlap-adds them
+#   (same trick as ops/conv7x7's 49-tap overlap-add).
+# * db2 accumulates lane-wise; the two row-parity halves merge outside.
+
+
+def _bwd_tile_bytes(tb: int, pairs_p: int, qpad: int, qc: int,
+                    itemsize: int) -> int:
+    f32 = 4
+    return (2 * (2 * tb + 2) * pairs_p * 128 * itemsize  # dbl c11p buf
+            + 2 * tb * qpad * 64 * itemsize              # g block (dbl)
+            + 2 * tb * qpad * 128 * itemsize             # dz scratch
+            + 2 * tb * qpad * 128 * itemsize             # dz transposes
+            + 4 * tb * (qpad + 1) * 128 * itemsize       # padded rows_dh
+            + 2 * tb * qc * 128 * f32                    # recompute accs
+            + 3 * (tb + 1) * (qpad + 1) * 128 * f32      # dv accs + shifted
+            + (2 * tb + 2) * (qpad + 1) * 128 * (f32 + itemsize)  # stack+cast
+            + 2 * (2 * tb + 2) * pairs_p * 128 * itemsize  # dv out (dbl)
+            + 2 * 8 * 128 * 128 * (f32 + 2 * itemsize))  # dK + k2 + k2T
+
+
+def _plan_bwd(ph_pad: int, pairs_p: int, q: int, itemsize: int):
+    """(tb, qpad, qc): row tile, 8-aligned dz width, balanced chunk."""
+    qpad = -(-q // 8) * 8
+    n_chunks = -(-qpad // 128)
+    qc = -(-qpad // n_chunks // 8) * 8
+    for tb in range(12, 1, -1):
+        if _bwd_tile_bytes(tb, pairs_p, qpad, qc, itemsize) <= _VMEM_BUDGET:
+            return tb, qpad, qc
+    return None
+
+
+def _bwd_kernel(c11_hbm, g_ref, k2_ref, k2t_ref, b2_ref,
+                dv_ref, dkt_ref, db_ref, buf, dz_ref, sems,
+                *, tb, q, qpad, qc, pairs_p, n_tiles, rows_total, dtype):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    rows = 2 * tb + 2
+
+    def copy(slot, tt):
+        # clamp: the last tile may start past the (unpadded) c11p rows; its
+        # re-read rows produce garbage accs but its g rows are zero-padded,
+        # so every dz there is exactly 0 and nothing propagates
+        start = jnp.minimum(2 * tb * tt, rows_total - rows)
+        return pltpu.make_async_copy(
+            c11_hbm.at[b, pl.ds(start, rows)], buf.at[slot], sems.at[slot])
+
+    slot = jax.lax.rem(t, 2)
+
+    @pl.when(t == 0)
+    def _():
+        copy(0, 0).start()
+
+    @pl.when(t + 1 < n_tiles)
+    def _():
+        copy(1 - slot, t + 1).start()
+
+    copy(slot, t).wait()
+
+    @pl.when((b == 0) & (t == 0))
+    def _():
+        dkt_ref[...] = jnp.zeros((2, 8, 128, 128), jnp.float32)
+        db_ref[...] = jnp.zeros((1, 128), jnp.float32)
+
+    b2p = b2_ref[0, :].astype(jnp.float32)
+    v = buf[slot].reshape(tb + 1, 2, pairs_p, 128)
+    # one extra pair column: the last output pair's po=1 taps read input
+    # pair qpad, which can exceed pairs_p by 1; the pad value only ever
+    # multiplies dz columns >= q, which are identically 0
+    colpad = max(0, qpad + 1 - pairs_p)
+    rows_dh = [jnp.pad(jax.lax.slice_in_dim(v, dh // 2, dh // 2 + tb,
+                                            axis=0)[:, dh % 2],
+                       ((0, 0), (0, colpad), (0, 0)))
+               for dh in range(4)]                   # (tb, >=qpad+1, 128)
+    gt = g_ref[0].astype(jnp.float32)                # (tb, qpad, 64)
+
+    # ---- stage 1: recompute accs per q-chunk, route g into dz ----------
+    q0 = 0
+    while q0 < qpad:
+        qc_ = min(qc, qpad - q0)
+        lhs = {}
+        for dh in range(4):
+            for po in range(2):
+                lhs[dh, po] = jax.lax.slice_in_dim(
+                    rows_dh[dh], q0 + po, q0 + po + qc_,
+                    axis=1).reshape(tb * qc_, 128)
+
+        def parity_pre(eo):
+            acc = jnp.zeros((tb * qc_, 128), jnp.float32)
+            for dh in range(4):
+                for po in range(2):
+                    acc = acc + jax.lax.dot_general(
+                        lhs[dh, po], k2_ref[eo, dh * 2 + po],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+            return acc + b2p
+
+        pre0 = parity_pre(0)                          # lanes = er*64 + c
+        pre1 = parity_pre(1)
+        a00 = jnp.maximum(pre0[:, :64], 0.0)
+        a10 = jnp.maximum(pre0[:, 64:], 0.0)
+        a01 = jnp.maximum(pre1[:, :64], 0.0)
+        a11 = jnp.maximum(pre1[:, 64:], 0.0)
+        m = jnp.maximum(jnp.maximum(a00, a01), jnp.maximum(a10, a11))
+        gc = jax.lax.slice_in_dim(gt, q0, q0 + qc_,
+                                  axis=1).reshape(tb * qc_, 64)
+        e00 = a00 == m                               # first-max chain in
+        e01 = (a01 == m) & ~e00                      # window scan order
+        e10 = (a10 == m) & ~(e00 | e01)
+        e11 = ~(e00 | e01 | e10)
+        z = jnp.zeros_like(gc)
+        dz00 = jnp.where(e00 & (pre0[:, :64] > 0), gc, z)
+        dz01 = jnp.where(e01 & (pre1[:, :64] > 0), gc, z)
+        dz10 = jnp.where(e10 & (pre0[:, 64:] > 0), gc, z)
+        dz11 = jnp.where(e11 & (pre1[:, 64:] > 0), gc, z)
+        dz_ref[0, :, q0:q0 + qc_, :] = jnp.concatenate(
+            [dz00, dz10], axis=-1).reshape(tb, qc_, 128).astype(dtype)
+        dz_ref[1, :, q0:q0 + qc_, :] = jnp.concatenate(
+            [dz01, dz11], axis=-1).reshape(tb, qc_, 128).astype(dtype)
+        q0 += qc_
+
+    # ---- stage 2: tile-wide tap matmuls --------------------------------
+    dz = [dz_ref[0].reshape(tb * qpad, 128), dz_ref[1].reshape(tb * qpad, 128)]
+    dzt = [dz[0].T, dz[1].T]                         # one transpose / parity
+    db_ref[0, :] += (jnp.sum(dz[0].astype(jnp.float32), axis=0)
+                     + jnp.sum(dz[1].astype(jnp.float32), axis=0))
+    dv = [jnp.zeros((tb + 1, qpad + 1, 128), jnp.float32) for _ in range(2)]
+    for eo in range(2):
+        for dh in range(4):
+            for po in range(2):
+                lhs_full = jax.lax.slice_in_dim(
+                    rows_dh[dh], po, po + qpad, axis=1).reshape(
+                        tb * qpad, 128)
+                dkt_ref[eo, dh * 2 + po] += jax.lax.dot_general(
+                    dzt[eo], lhs_full, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                c = jax.lax.dot_general(
+                    dz[eo], k2t_ref[eo, dh * 2 + po],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                c = jnp.pad(c.reshape(tb, qpad, 128),
+                            ((dh // 2, 1 - dh // 2), (po, 1 - po), (0, 0)))
+                dv[dh % 2] = dv[dh % 2] + c
+    out = jnp.stack(dv, axis=1).reshape(2 * tb + 2, qpad + 1, 128)
+    if qpad + 1 < pairs_p:
+        out = jnp.pad(out, ((0, 0), (0, pairs_p - qpad - 1), (0, 0)))
+    dv_ref[0, 0] = out[:, :pairs_p].astype(dtype)
+
+
+def _conv2_pool_bwd_impl(c11p, k2p, b2p, g, q, pairs_p, ph_pad, dtype):
+    B = c11p.shape[0]
+    rows_total = 2 * ph_pad + 2
+    itemsize = jnp.dtype(dtype).itemsize
+    plan = _plan_bwd(ph_pad, pairs_p, q, itemsize)
+    assert plan is not None, (ph_pad, pairs_p, q)
+    tb, qpad, qc = plan
+    n_tiles = -(-ph_pad // tb)
+    g = jnp.pad(g, ((0, 0), (0, n_tiles * tb - ph_pad), (0, qpad - q),
+                    (0, 0)))
+    k2t = jnp.swapaxes(k2p, 2, 3)
+    kern = functools.partial(
+        _bwd_kernel, tb=tb, q=q, qpad=qpad, qc=qc, pairs_p=pairs_p,
+        n_tiles=n_tiles, rows_total=rows_total, dtype=dtype)
+    dv_seg, dkt, db = pl.pallas_call(
         kern,
         grid=(B, n_tiles),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),      # c11p stays in HBM
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # k2 (2, 8, 128, 128)
+            pl.BlockSpec((1, tb, qpad, 64), lambda b, t: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # k2 taps
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # k2 taps transposed
             pl.BlockSpec(memory_space=pltpu.VMEM),  # b2 (1, 128)
         ],
-        out_specs=pl.BlockSpec((1, tp, q, 64), lambda b, t: (b, t, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, ph_pad, q, 64), dtype),
+        out_specs=[
+            pl.BlockSpec((1, 1, 2 * tb + 2, pairs_p, 128),
+                         lambda b, t: (b, t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 8, 128, 128), lambda b, t: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, n_tiles, 2 * tb + 2, pairs_p, 128),
+                                 dtype),
+            jax.ShapeDtypeStruct((2, 8, 128, 128), jnp.float32),
+            jax.ShapeDtypeStruct((1, 128), jnp.float32),
+        ],
         scratch_shapes=[
-            pltpu.VMEM((2, 2 * tp + 2, pairs_p, 128), dtype),
+            pltpu.VMEM((2, 2 * tb + 2, pairs_p, 128), dtype),
+            pltpu.VMEM((2, tb, qpad, 128), dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
-    )(
-        c11p,
-        _pack_k2_taps(k2).astype(dtype),
-        jnp.concatenate([b2, b2]).reshape(1, -1).astype(jnp.float32),
-    )
-    return out[:, :ph, :pw, :]
+    )(c11p, g, k2p, k2t, b2p)
+
+    # overlap-add the (tb+1)-pair segments: segment t owns pairs
+    # [tb*t, tb*t + tb + 1); its last pair coincides with segment t+1's
+    # first — place the 2-row tails at stride 2*tb, shifted by one segment
+    main = dv_seg[:, :, :2 * tb].reshape(B, n_tiles * 2 * tb, pairs_p, 128)
+    tail = dv_seg[:, :, 2 * tb:]                     # (B, n_tiles, 2, ...)
+    tail = jnp.concatenate(
+        [tail, jnp.zeros((B, n_tiles, 2 * tb - 2, pairs_p, 128), dtype)],
+        axis=2).reshape(B, n_tiles * 2 * tb, pairs_p, 128)
+    shifted = jnp.pad(tail, ((0, 0), (2 * tb, 0), (0, 0), (0, 0)))
+    main = jnp.pad(main, ((0, 0), (0, 2 * tb), (0, 0), (0, 0)))
+    dc11p = (main + shifted)[:, :rows_total]
+    dk2p = jnp.swapaxes(dkt, 2, 3).astype(k2p.dtype)
+    return dc11p, dk2p, db.astype(b2p.dtype)
+
+
+def _conv2_pool_fwd(c11p, k2p, b2p, q, pairs_p, ph_pad, dtype):
+    out = _conv2_pool_fwd_impl(c11p, k2p, b2p, q, pairs_p, ph_pad, dtype)
+    return out, (c11p, k2p, b2p)
+
+
+def _conv2_pool_bwd(q, pairs_p, ph_pad, dtype, res, g):
+    c11p, k2p, b2p = res
+    return _conv2_pool_bwd_impl(c11p, k2p, b2p, g, q, pairs_p, ph_pad,
+                                dtype)
+
+
+_conv2_pool.defvjp(_conv2_pool_fwd, _conv2_pool_bwd)
 
 
 def xla_block1(xp, k1, b1, k2, b2, dtype=jnp.bfloat16):
@@ -403,21 +681,11 @@ def xla_block1(xp, k1, b1, k2, b2, dtype=jnp.bfloat16):
     return jnp.max(jnp.max(h, axis=4), axis=2)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
 def block1_op(xp, k1, b1, k2, b2, dtype=jnp.bfloat16):
+    """Differentiable fused block 1 (kept as the models' entry point).
+
+    Forward = fused_block1; gradients = XLA autodiff through the packed
+    conv1_1 + the Pallas backward kernel through conv1_2/pool
+    (_conv2_pool_bwd) — no full-resolution recompute, no select-and-scatter.
+    """
     return fused_block1(xp, k1, b1, k2, b2, dtype=dtype)
-
-
-def _fwd(xp, k1, b1, k2, b2, dtype):
-    return (fused_block1(xp, k1, b1, k2, b2, dtype=dtype),
-            (xp, k1, b1, k2, b2))
-
-
-def _bwd(dtype, res, g):
-    xp, k1, b1, k2, b2 = res
-    _, vjp = jax.vjp(
-        lambda *a: xla_block1(*a, dtype=dtype), xp, k1, b1, k2, b2)
-    return vjp(g)
-
-
-block1_op.defvjp(_fwd, _bwd)

@@ -56,7 +56,37 @@ MODES = ("none", "fwd", "matmul", "conv", "convw", "ss", "head", "tiny",
          # (B) "fresh remote-compile RPC". conv_compile has no dot anywhere;
          # rerunning mm_compile/mm_tiny on a warm cache removes (B).
          "conv_compile",  # AOT-compile a fresh conv-only program
-         "pallas_dot")    # execute a Pallas kernel whose body is a matmul
+         "pallas_dot",    # execute a Pallas kernel whose body is a matmul
+         # round-5 (dot-free rewrite acceptance): the production programs
+         # after every XLA dot was replaced by conv / multiply-reduce /
+         # Pallas twins (ops/dotless.py, ops/bilinear.py, ops/pdot.py).
+         "serve",         # fused SZN serving program (B=8 512²)
+         # round-6: `full` STILL collapsed with 0 stablehlo.dot_general —
+         # bisect the dot-free train step's building blocks (fresh process
+         # each). Candidates: algsimp re-deriving dots from multiply-reduce,
+         # the Pallas pdot at production shape, the 49-tap scatter
+         # overlap-add, losses, metrics, the elementwise upsample, adam.
+         "mr",            # proj_rows multiply-reduce (B=8 512² x 21x20)
+         "sel",           # select_rows one-hot multiply-reduce
+         "upsamp",        # elementwise bilinear upsample fwd+vjp
+         "pdot_big",      # ops.pdot at the fc6-igrad production shape
+         "olap",          # conv_valid_mmgrad backward (pdot + overlap-add)
+         "ce_grad",       # cross_entropy2d grad (log_softmax + one-hot)
+         "cos_grad",      # cosine_loss grad (double-where norms)
+         "cm",            # confusion_matrix one-hot reduction
+         "adam",          # optax adam update on FCN-sized params
+         # round-7: micro-bisect the round-6 contradictions. pdot_big
+         # collapsed but the same call inside `olap` didn't; ce/cos grads
+         # collapsed with no source dot; `serve` collapsed though all its
+         # pieces probed clean.
+         "pdot_nopad",    # pdot at aligned shapes — no jnp.pad/slice
+         "pdot_repeat",   # pdot_big twice in one process (determinism)
+         "sumprod",       # jnp.sum(s*t, -1) forward alone (8,512²,21)
+         "sumprod_grad",  # grad of sum(tanh(sum(s*t,-1)))
+         "l2norm_grad",   # _l2_normalize + grad (double-where norms)
+         "logsm_grad",    # grad of masked log_softmax sum (no one-hot)
+         "ce_fwd",        # cross_entropy2d forward only
+         "cos_fwd")       # cosine_loss forward only
 
 
 def measure_bw(nbytes: int = 25 * 1024 * 1024, reps: int = 3) -> float:
@@ -214,6 +244,153 @@ def run_program(mode: str) -> None:
 
         g = jax.jit(jax.grad(f))(x)
         jax.block_until_ready(g)
+        return
+
+    if mode in ("pdot_nopad", "pdot_repeat"):
+        from zeroshotsemanticsegmentation_tpu.ops.pdot import pdot
+        if mode == "pdot_nopad":
+            a = jnp.asarray(rng.randn(2048, 4096).astype(np.float32),
+                            jnp.bfloat16)
+            b2 = jnp.asarray(rng.randn(4096, 25088).astype(np.float32),
+                             jnp.bfloat16)
+            jax.block_until_ready(pdot(a, b2, out_dtype=jnp.float32))
+            return
+        a = jnp.asarray(rng.randn(2312, 4096).astype(np.float32),
+                        jnp.bfloat16)
+        b2 = jnp.asarray(rng.randn(4096, 25088).astype(np.float32),
+                         jnp.bfloat16)
+        jax.block_until_ready(pdot(a, b2, out_dtype=jnp.float32))
+        mid = measure_bw()
+        print(json.dumps({"mode": "pdot_repeat/mid", "bw_mid_mbs":
+                          round(mid, 1)}), flush=True)
+        jax.block_until_ready(pdot(a * 2, b2, out_dtype=jnp.float32))
+        return
+    if mode in ("sumprod", "sumprod_grad", "l2norm_grad",
+                "logsm_grad", "ce_fwd", "cos_fwd"):
+        from zeroshotsemanticsegmentation_tpu.ops.losses import (
+            _l2_normalize, cosine_loss, cross_entropy2d)
+        s = jnp.asarray(rng.randn(8, 512, 512, 21).astype(np.float32))
+        t = jnp.asarray(rng.randn(8, 512, 512, 21).astype(np.float32))
+        lbl = jnp.asarray(rng.randint(-1, 21, (8, 512, 512)), jnp.int32)
+        if mode == "sumprod":
+            out = jax.jit(lambda s, t: jnp.sum(s * t, -1))(s, t)
+        elif mode == "sumprod_grad":
+            out = jax.jit(jax.grad(
+                lambda s: jnp.sum(jnp.tanh(jnp.sum(s * t, -1)))))(s)
+        elif mode == "l2norm_grad":
+            out = jax.jit(jax.grad(
+                lambda s: jnp.sum(jnp.tanh(_l2_normalize(s)))))(s)
+        elif mode == "logsm_grad":
+            out = jax.jit(jax.grad(
+                lambda s: jnp.sum(jax.nn.log_softmax(s, -1) * 1e-3)))(s)
+        elif mode == "ce_fwd":
+            out = jax.jit(lambda s: cross_entropy2d(s, lbl))(s)
+        else:
+            out = jax.jit(lambda s: cosine_loss(s, lbl, t))(s)
+        jax.block_until_ready(out)
+        return
+    if mode == "mr":
+        from zeroshotsemanticsegmentation_tpu.ops.dotless import proj_rows
+        s = jnp.asarray(rng.randn(8, 512, 512, 21).astype(np.float32))
+        e = jnp.asarray(rng.randn(21, 21).astype(np.float32))
+        jax.block_until_ready(jax.jit(proj_rows)(s, e))
+        return
+    if mode == "sel":
+        from zeroshotsemanticsegmentation_tpu.ops.dotless import select_rows
+        lbl = jnp.asarray(rng.randint(0, 21, (8, 512, 512)), jnp.int32)
+        e = jnp.asarray(rng.randn(21, 20).astype(np.float32))
+        jax.block_until_ready(jax.jit(select_rows)(lbl, e))
+        return
+    if mode == "upsamp":
+        from zeroshotsemanticsegmentation_tpu.ops.bilinear import (
+            upsample_bilinear_cropped)
+        x = jnp.asarray(rng.randn(8, 17, 17, 21).astype(np.float32))
+
+        def f(x):
+            y = upsample_bilinear_cropped(x, stride=32, kernel_size=64,
+                                          crop_offset=19, out_h=512,
+                                          out_w=512)
+            return jnp.sum(jnp.tanh(y * 1e-3))
+
+        jax.block_until_ready(jax.jit(jax.grad(f))(x))
+        return
+    if mode == "pdot_big":
+        from zeroshotsemanticsegmentation_tpu.ops.pdot import pdot
+        a = jnp.asarray(rng.randn(2312, 4096).astype(np.float32),
+                        jnp.bfloat16)
+        b2 = jnp.asarray(rng.randn(4096, 25088).astype(np.float32),
+                         jnp.bfloat16)
+        jax.block_until_ready(pdot(a, b2, out_dtype=jnp.float32))
+        return
+    if mode == "olap":
+        from zeroshotsemanticsegmentation_tpu.ops.conv7x7 import (
+            conv_valid_mmgrad)
+        x = jnp.asarray(rng.randn(8, 23, 23, 512).astype(np.float32),
+                        jnp.bfloat16)
+        k = jnp.asarray(rng.randn(7, 7, 512, 4096).astype(np.float32) * .01,
+                        jnp.bfloat16)
+
+        def f(x, k):
+            return jnp.sum(conv_valid_mmgrad(x, k).astype(jnp.float32))
+
+        jax.block_until_ready(jax.jit(jax.grad(f, argnums=(0, 1)))(x, k))
+        return
+    if mode in ("ce_grad", "cos_grad"):
+        from zeroshotsemanticsegmentation_tpu.ops.losses import (
+            cosine_loss, cross_entropy2d)
+        s = jnp.asarray(rng.randn(8, 512, 512, 21).astype(np.float32))
+        lbl = jnp.asarray(rng.randint(-1, 21, (8, 512, 512)), jnp.int32)
+
+        def f(s):
+            if mode == "ce_grad":
+                return cross_entropy2d(s, lbl)
+            t = jnp.asarray(rng.randn(8, 512, 512, 21).astype(np.float32))
+            return cosine_loss(s, lbl, t)
+
+        jax.block_until_ready(jax.jit(jax.grad(f))(s))
+        return
+    if mode == "cm":
+        from zeroshotsemanticsegmentation_tpu.ops.metrics import (
+            confusion_matrix)
+        lt = jnp.asarray(rng.randint(-1, 21, (8, 512, 512)), jnp.int32)
+        lp = jnp.asarray(rng.randint(0, 21, (8, 512, 512)), jnp.int32)
+        jax.block_until_ready(
+            jax.jit(lambda a, b: confusion_matrix(a, b, 21))(lt, lp))
+        return
+    if mode == "adam":
+        import optax
+        params = {f"p{i}": jnp.asarray(rng.randn(256, 256, 3, 3)
+                                       .astype(np.float32))
+                  for i in range(8)}
+        tx = optax.adam(1e-4)
+        opt_state = jax.jit(tx.init)(params)
+        grads = jax.tree_util.tree_map(jnp.ones_like, params)
+        jax.block_until_ready(
+            jax.jit(lambda g, s, p: tx.update(g, s, p))(
+                grads, opt_state, params))
+        return
+    if mode == "serve":
+        from zeroshotsemanticsegmentation_tpu.models import FCN32s
+        from zeroshotsemanticsegmentation_tpu.ops.szn_fused import (
+            infer_labels_szn_fused)
+        from zeroshotsemanticsegmentation_tpu.ops.metrics import (
+            unseen_mask_vector)
+        from zeroshotsemanticsegmentation_tpu.data.assets import (
+            load_class_embeddings)
+        model = FCN32s(num_classes=20, dtype=jnp.bfloat16, fused_block1=True)
+        x = jnp.asarray(rng.randn(8, 512, 512, 3).astype(np.float32) * 40)
+        params = jax.jit(lambda: model.init(
+            jax.random.PRNGKey(0), x[:1], mode="both"))()["params"]
+        embed = jnp.asarray(load_class_embeddings("pascal", 20))
+        unseen_vec = jnp.asarray(unseen_mask_vector(21, [1, 13]))
+
+        @jax.jit
+        def serve(params, x):
+            f_raw, s_raw = model.apply({"params": params}, x, mode="raw")
+            return infer_labels_szn_fused(f_raw, s_raw, embed, unseen_vec,
+                                          (512, 512))
+
+        jax.block_until_ready(serve(params, x))
         return
 
     # trainer-step modes

@@ -81,3 +81,42 @@ def test_matches_conv_transpose_oracle(rng, h, w, c, stride, ksize, crop):
 def test_crop_out_of_range_raises():
     with pytest.raises(ValueError):
         upsample_matrix(4, 2, 4, 3, 8)  # full = 10, 3+8 > 10
+
+
+@pytest.mark.parametrize("h,w,c,stride,ksize,crop,out_h,out_w", [
+    (17, 17, 5, 32, 64, 19, 512, 512),  # canonical FCN-32s at 512²
+    (5, 7, 3, 8, 16, 4, 21, 37),
+    (4, 4, 2, 2, 4, 1, 6, 5),
+    (3, 3, 1, 32, 64, 19, 26, 26),      # edge-dominated tiny geometry
+])
+def test_matches_interp_matrix_bitexact(rng, h, w, c, stride, ksize, crop,
+                                        out_h, out_w):
+    """The tap-blend implementation == the fp32 interpolation-matrix product,
+    bit for bit (the matrix rows' extra terms are exact zeros), including the
+    VJP (the transpose map is the same 2-tap structure)."""
+    import jax
+    import jax.numpy as jnp
+
+    x = rng.randn(2, h, w, c).astype(np.float32)
+    mh = upsample_matrix(h, stride, ksize, crop, out_h)
+    mw = upsample_matrix(w, stride, ksize, crop, out_w)
+
+    def oracle(x):
+        y = np.einsum("Hh,bhwc->bHwc", mh, x, dtype=np.float64)
+        return np.einsum("Ww,bHwc->bHWc", mw, y, dtype=np.float64)
+
+    got = np.asarray(upsample_bilinear_cropped(
+        jnp.asarray(x), stride=stride, kernel_size=ksize, crop_offset=crop,
+        out_h=out_h, out_w=out_w))
+    # fp64 matrix oracle: agreement to fp32 eps (bit-exactness vs the fp32
+    # matmul is asserted implicitly — both round the same 2-term fp32 sums)
+    np.testing.assert_allclose(got, oracle(x.astype(np.float64)),
+                               rtol=1e-6, atol=1e-6)
+
+    g = rng.randn(*got.shape).astype(np.float32)
+    up = lambda x: upsample_bilinear_cropped(
+        x, stride=stride, kernel_size=ksize, crop_offset=crop,
+        out_h=out_h, out_w=out_w)
+    (dx,) = jax.vjp(up, jnp.asarray(x))[1](jnp.asarray(g))
+    want_dx = np.einsum("Hh,Ww,bHWc->bhwc", mh, mw, g.astype(np.float64))
+    np.testing.assert_allclose(np.asarray(dx), want_dx, rtol=1e-4, atol=1e-4)

@@ -72,6 +72,18 @@ def _conv_valid(x, k):
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
+def _zero_input_response(k, c):
+    """sum_{h,w,i} k[h,w,i,o] * c[i] -> (o,) fp32, as a multiply-reduce.
+
+    The einsum("hwio,i->o") form put a `dot_general` in every program using
+    pruned geometry; on this platform any XLA dot collapses H2D bandwidth
+    (CLAUDE.md). The TPU backend was already lowering this contraction to
+    broadcast+multiply+reduce, so the explicit form is the same computation.
+    """
+    return jnp.sum(k.astype(jnp.float32)
+                   * c.astype(jnp.float32)[None, None, :, None], axis=(0, 1, 2))
+
+
 def _padc(a, c, top, bottom, left, right):
     """Pad spatial dims with the per-channel constant vector c — built by
     concatenation (NOT pad(a-c)+c, which would perturb interior values)."""
@@ -259,9 +271,8 @@ def run_pruned_blocks(kbs, x, pad1: int, dtype, fused_block1: bool = False,
             # in exact lockstep with the geometry plan_blocks simulated.
             a = a[:, :a.shape[1] - H % 2, :a.shape[2] - W % 2, :]
             for k, b in kbs[0]:
-                c = nn.relu(jnp.einsum(
-                    "hwio,i->o", k.astype(jnp.float32),
-                    c.astype(jnp.float32)).astype(dtype) + b.astype(dtype))
+                c = nn.relu(_zero_input_response(k, c).astype(dtype)
+                            + b.astype(dtype))
             s0 = (pad1 - 4) // 2
             vh, vw = -(-vh // 2), -(-vw // 2)
             rim = 1
@@ -281,8 +292,7 @@ def run_pruned_blocks(kbs, x, pad1: int, dtype, fused_block1: bool = False,
             s0 += (pad1 - 2) if first else -1
             # interior zero-input response: relu(sum_taps K c + b); fp32
             # accumulation mirrors the MXU conv (reduction order aside)
-            c = nn.relu(jnp.einsum("hwio,i->o", k.astype(jnp.float32),
-                                   c.astype(jnp.float32)).astype(dtype)
+            c = nn.relu(_zero_input_response(k, c).astype(dtype)
                         + b.astype(dtype))
             if not first:
                 rim += 1  # conv1_1's big pad is part of the virtual conv

@@ -1,20 +1,31 @@
-"""Fixed bilinear ×stride upsampling, TPU-first.
+"""Fixed bilinear ×stride upsampling, TPU-first and dot-free.
 
 The reference upsamples FCN scores with a ConvTranspose2d(kernel=64, stride=32,
 bias=False) whose weights are initialized to a separable bilinear filter
 (reference: models.py:11-24, 93-98) and are *never* optimized (reference:
 train.py:324-327 skips ConvTranspose weights). A dense transposed conv with a
 (C, C, 64, 64) kernel that is diagonal across channels and separable across
-space is a pessimal fit for the MXU. Since the op is a fixed linear map, we
-express it as two small dense matmuls instead:
+space is a pessimal fit for the MXU. The op is a fixed separable linear map
 
-    out[b, O, W, c] = sum_h  M_h[O, h] * x[b, h, w, c]   (rows)
-    then the same with M_w along the width axis,
+    out[b, O, W, c] = sum_h  M_h[O, h] * x[b, h, w, c]   (rows, then cols)
 
 where M[o, i] = f[(o + crop) - stride * i] is the (out_len, in_len)
 interpolation matrix with the reference's crop offset (19, models.py:147)
-folded in. For a 512×512 input M is (512, 17) — both einsums are tiny,
-MXU-tileable, and XLA fuses the surrounding elementwise work.
+folded in — but each M row has at most ceil(K/stride) (= 2 for every
+reference geometry, K = 2·stride) nonzero taps, so instead of a matmul we
+evaluate the interpolation directly as a per-tap weighted blend:
+
+    y[o] = sum_t  w_t[o] * x[i0(o) + t],   i0(o) = floor((o + a) / stride)
+
+with host-precomputed weight LUTs. The staircase index i0(o)+t is realized
+gather-free as pad → ×stride repeat (broadcast+reshape) → static slice, so
+the whole op is elementwise + reduce: XLA fuses it into one pass whose HBM
+traffic is the output write, its autodiff transpose (pad/slice/reshape-sum)
+is equally cheap, and — load-bearing on this platform — no `dot` ever enters
+the program (any XLA dot permanently collapses host->device bandwidth here;
+see CLAUDE.md and scripts/probe_h2d.py). Numerically bit-identical to the
+interpolation-matrix einsum at fp32: the matmul's extra terms are exact
+zeros, and adding 0.0 never rounds.
 
 A general transposed-conv path (`bilinear_upsampling_kernel` +
 `jax.lax.conv_general_dilated` with lhs_dilation) is kept for tests and for a
@@ -81,20 +92,71 @@ def upsample_matrix(in_len: int, stride: int, kernel_size: int,
     return m
 
 
+@functools.lru_cache(maxsize=128)
+def _axis_upsample_plan(in_len: int, stride: int, kernel_size: int,
+                        crop_offset: int, out_len: int):
+    """Host-side tap plan: (pad_left, pad_right, [(slice_start, weights)]).
+
+    Tap t of output o reads padded-input index i0(o) + t + pad_left with
+    i0(o) = floor((o + a)/stride), a = crop_offset - kernel_size + stride;
+    after a ×stride repeat of the padded input that staircase is the static
+    slice [a + stride·(t + pad_left) :][:out_len]. Weights are the same
+    entries `upsample_matrix` would place (zero where the tap falls outside
+    the filter or the input), so the blend equals the matrix product exactly.
+    """
+    full = (in_len - 1) * stride + kernel_size
+    if crop_offset + out_len > full:
+        raise ValueError(
+            f"crop [{crop_offset}:{crop_offset + out_len}] exceeds transposed-conv "
+            f"output length {full} (in_len={in_len}, stride={stride}, K={kernel_size})")
+    f = bilinear_filter_1d(kernel_size)
+    taps = -(-kernel_size // stride)
+    a = crop_offset - kernel_size + stride
+    pad_l = max(0, -((a) // stride))  # ceil(-a/s): keeps every slice start >= 0
+    o = np.arange(out_len, dtype=np.int64)
+    i0 = (o + a) // stride
+    plan = []
+    for t in range(taps):
+        it = i0 + t
+        tap = o + crop_offset - stride * it
+        w = np.where((tap >= 0) & (tap < kernel_size) & (it >= 0) & (it < in_len),
+                     f[np.clip(tap, 0, kernel_size - 1)], 0.0).astype(np.float32)
+        w.setflags(write=False)
+        plan.append((int(a + stride * (t + pad_l)), w))
+    need = plan[-1][0] + out_len
+    pad_r = max(0, -(-(need - stride * (in_len + pad_l)) // stride))
+    return pad_l, pad_r, tuple(plan)
+
+
+def _axis_upsample(x: jnp.ndarray, axis: int, *, stride: int,
+                   kernel_size: int, crop_offset: int, out_len: int) -> jnp.ndarray:
+    """Bilinear ×stride upsample + crop along one axis, fp32, gather/dot-free."""
+    pad_l, pad_r, plan = _axis_upsample_plan(
+        x.shape[axis], stride, kernel_size, crop_offset, out_len)
+    pads = [(0, 0, 0)] * x.ndim
+    pads[axis] = (pad_l, pad_r, 0)
+    xp = jax.lax.pad(x.astype(jnp.float32), jnp.float32(0), pads)
+    rep = jnp.repeat(xp, stride, axis=axis)  # broadcast+reshape, not a gather
+    wshape = [1] * x.ndim
+    wshape[axis] = out_len
+    y = None
+    for start, w in plan:
+        sel = jax.lax.slice_in_dim(rep, start, start + out_len, axis=axis)
+        term = jnp.asarray(w).reshape(wshape) * sel
+        y = term if y is None else y + term
+    return y
+
+
 def upsample_bilinear_cropped(x: jnp.ndarray, *, stride: int, kernel_size: int,
                               crop_offset: int, out_h: int, out_w: int) -> jnp.ndarray:
     """Fixed bilinear ×stride upsample + crop of a (B, h, w, C) feature map.
 
     Numerically equal to the reference's ConvTranspose2d(K=kernel_size,
     s=stride, bias=False, bilinear init) followed by
-    `[:, crop:crop+out_h, crop:crop+out_w, :]` (models.py:93-98, 145-151).
+    `[:, crop:crop+out_h, crop:crop+out_w, :]` (models.py:93-98, 145-151),
+    and bit-identical to the fp32 interpolation-matrix form (see module doc).
     """
-    mh = jnp.asarray(upsample_matrix(x.shape[1], stride, kernel_size, crop_offset, out_h))
-    mw = jnp.asarray(upsample_matrix(x.shape[2], stride, kernel_size, crop_offset, out_w))
-    # HIGHEST precision: this op must be bit-comparable to the reference's
-    # fp32 transposed conv; the matrices are tiny so the cost is negligible.
-    y = jnp.einsum("Hh,bhwc->bHwc", mh, x, preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
-    y = jnp.einsum("Ww,bHwc->bHWc", mw, y, preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
-    return y
+    y = _axis_upsample(x, 1, stride=stride, kernel_size=kernel_size,
+                       crop_offset=crop_offset, out_len=out_h)
+    return _axis_upsample(y, 2, stride=stride, kernel_size=kernel_size,
+                          crop_offset=crop_offset, out_len=out_w)

@@ -64,11 +64,14 @@ def _bwd(res, g):
     # weight grad: XLA's standard conv formulation
     _, kvjp = jax.vjp(lambda kk: _conv_valid(x, kk), k)
     (dk,) = kvjp(g)
-    # input grad: dense matmul (forward FLOPs exactly) + static overlap-add
+    # input grad: dense matmul (forward FLOPs exactly) + static overlap-add.
+    # The matmul runs as the Pallas twin (ops/pdot.py) — an XLA dot here
+    # would collapse H2D bandwidth for the whole process (CLAUDE.md); the
+    # numerics are identical (fp32 MXU accumulation, one cast to x.dtype).
+    from zeroshotsemanticsegmentation_tpu.ops.pdot import pdot
     km = k.transpose(3, 0, 1, 2).reshape(co, kh * kw * ci)
-    col = jax.lax.dot_general(
-        g.reshape(b * oh * ow, co), km, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(x.dtype)
+    col = pdot(g.reshape(b * oh * ow, co), km,
+               out_dtype=jnp.float32).astype(x.dtype)
     col = col.reshape(b, oh, ow, kh, kw, ci)
     dx = jnp.zeros((b, oh + kh - 1, ow + kw - 1, ci), jnp.float32)
     for dh in range(kh):

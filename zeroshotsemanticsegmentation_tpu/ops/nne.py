@@ -27,12 +27,15 @@ def cosine_similarities(score: jnp.ndarray, embeddings: jnp.ndarray) -> jnp.ndar
     Zero-norm embeddings get norm 1 (reference utils.py:175); zero-norm score
     vectors likewise (the reference would produce NaNs there).
     """
+    from zeroshotsemanticsegmentation_tpu.ops.dotless import proj_rows
     s = score.astype(jnp.float32)
     e = embeddings.astype(jnp.float32)
-    # HIGHEST: the TPU default matmul precision is bf16-level, which flips
-    # argmax results between near-tied classes vs the fp32 reference
-    sims = jnp.einsum("...c,kc->...k", s, e, preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)
+    # fp32 multiply-reduce, not an einsum: numerically this is the old
+    # HIGHEST-precision matmul (the TPU default bf16-level matmul pass would
+    # flip argmaxes between near-tied classes vs the fp32 reference), and it
+    # keeps the program dot-free (any XLA dot collapses H2D bandwidth on
+    # this platform — CLAUDE.md / scripts/probe_h2d.py)
+    sims = proj_rows(s, e)
     # double-where: keeps the (rarely used) backward pass finite at zero norms
     s_norm2 = jnp.sum(s * s, axis=-1, keepdims=True)
     e_norm2 = jnp.sum(e * e, axis=-1)

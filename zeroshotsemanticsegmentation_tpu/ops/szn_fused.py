@@ -31,7 +31,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from zeroshotsemanticsegmentation_tpu.ops.bilinear import upsample_matrix
+from zeroshotsemanticsegmentation_tpu.ops.bilinear import (
+    _axis_upsample, upsample_matrix)
 
 _UPSAMPLE_STRIDE = 32
 _UPSAMPLE_KERNEL = 64
@@ -71,18 +72,21 @@ def _fused(score_small, gate_small, embed_scaled, seen_mask, unseen_mask,
     b, h32, w32, c = score_small.shape
     k = embed_scaled.shape[0]
 
-    sims = jnp.einsum("bhwc,kc->bhwk", score_small.astype(jnp.float32),
-                      embed_scaled, preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)
+    # dot-free pre-stage (any XLA dot collapses H2D bandwidth on this
+    # platform — CLAUDE.md): class projection as a fused multiply-reduce,
+    # row-axis upsample as the 2-tap blend of ops.bilinear. Both are fp32,
+    # numerically the old HIGHEST-precision einsums. The (k, w) transpose
+    # happens on the tiny 1/32-res tensor, before the 32x row expansion.
+    from zeroshotsemanticsegmentation_tpu.ops.dotless import proj_rows
+    sims = proj_rows(score_small, embed_scaled)
     aug = jnp.concatenate([sims, gate_small[..., None]], axis=-1)  # K+1
 
-    mh = jnp.asarray(upsample_matrix(h32, _UPSAMPLE_STRIDE, _UPSAMPLE_KERNEL,
-                                     _CROP_OFFSET, out_h))
     mw = jnp.asarray(upsample_matrix(w32, _UPSAMPLE_STRIDE, _UPSAMPLE_KERNEL,
                                      _CROP_OFFSET, out_w)).T  # (w32, out_w)
-    rows = jnp.einsum("Yh,bhwk->bYkw", mh, aug,
-                      preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)
+    rows = _axis_upsample(jnp.transpose(aug, (0, 1, 3, 2)), 1,
+                          stride=_UPSAMPLE_STRIDE,
+                          kernel_size=_UPSAMPLE_KERNEL,
+                          crop_offset=_CROP_OFFSET, out_len=out_h)
     n_rows = b * out_h
     pad = (-n_rows) % row_tile
     flat = rows.reshape(n_rows, k + 1, w32)

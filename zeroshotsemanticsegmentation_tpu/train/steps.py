@@ -25,15 +25,13 @@ from zeroshotsemanticsegmentation_tpu.ops import (
 
 
 def _embed_targets(label, embeddings):
-    """Per-pixel embedding[label] via a one-hot matmul: a row gather over
-    millions of pixels serializes on TPU (measured 7.6 ms/step at B=16
-    512^2 vs ~0.5 ms for this form). Precision.HIGHEST keeps the 0/1
-    selection exact to fp32 (the default bf16 matmul pass would quantize
-    the embedding values)."""
-    onehot = jax.nn.one_hot(jnp.clip(label, 0, None), embeddings.shape[0],
-                            dtype=embeddings.dtype)
-    return jnp.einsum("...n,nc->...c", onehot, embeddings,
-                      precision=jax.lax.Precision.HIGHEST)
+    """Per-pixel embedding[label] via a one-hot multiply-reduce: a row gather
+    over millions of pixels serializes on TPU (measured 7.6 ms/step at B=16
+    512^2), and the previous one-hot *matmul* form put a `dot` in the train
+    program, which collapses H2D bandwidth on this platform (CLAUDE.md).
+    The 0/1 selection is exact in fp32 (ops/dotless.py)."""
+    from zeroshotsemanticsegmentation_tpu.ops.dotless import select_rows
+    return select_rows(jnp.clip(label, 0, None), embeddings)
 
 
 def _per_sample_fcn_loss(loss_name: str, embeddings):
@@ -350,12 +348,13 @@ def _seenmask_target(label, sizes, seen_vec):
     only this framework's static-shape padding is excluded.
     """
     h, w = label.shape[1], label.shape[2]
-    # one-hot matmul instead of a per-pixel gather (gathers serialize on
-    # TPU); 0/1 x 0/1 arithmetic is exact in any precision
-    lifted = jnp.einsum(
-        "...n,n->...", jax.nn.one_hot(jnp.clip(label, 0, None),
-                                      seen_vec.shape[0], dtype=jnp.float32),
-        seen_vec.astype(jnp.float32))
+    # one-hot multiply-reduce instead of a per-pixel gather (gathers
+    # serialize on TPU) or a matvec einsum (any XLA dot collapses H2D
+    # bandwidth — CLAUDE.md); 0/1 x 0/1 arithmetic is exact in any precision
+    from zeroshotsemanticsegmentation_tpu.ops.dotless import matvec
+    lifted = matvec(jax.nn.one_hot(jnp.clip(label, 0, None),
+                                   seen_vec.shape[0], dtype=jnp.float32),
+                    seen_vec)
     tgt = jnp.where((lifted > 0.5) & (label >= 0), 1, 0)
     return jnp.where(_pad_mask(sizes, h, w), -1, tgt)
 

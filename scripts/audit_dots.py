@@ -58,11 +58,16 @@ def _common():
     params = jax.jit(lambda: model.init(jax.random.PRNGKey(0),
                                         batch["image"][:1],
                                         mode="both"))()["params"]
-    embed = jnp.asarray(load_class_embeddings("pascal", 20))
+    # host np, like production post-fix: embeddings/unseen vecs enter the
+    # jitted programs as closure consts, and device-array consts collapse
+    # H2D on this platform (probe_h2d closure_tiny/closure_conv) — np
+    # consts inline as HLO literals and are clean (closure_np)
+    embed = np.asarray(load_class_embeddings("pascal", 20), np.float32)
     return model, batch, params, embed
 
 
-def lower_train():
+def build_train():
+    """(jitted step, example args) — mirrors FCNTrainer's construction."""
     import jax
     import jax.numpy as jnp
     from zeroshotsemanticsegmentation_tpu.train import make_fcn_optimizer
@@ -75,27 +80,27 @@ def lower_train():
                                embeddings=embed)
     state = TrainState(params=params, opt_state=jax.jit(tx.init)(params),
                        step=jnp.zeros((), jnp.int32))
-    return step.lower(state, batch, jax.random.PRNGKey(0))
+    return step, (state, batch, jax.random.PRNGKey(0))
 
 
-def lower_eval():
-    import jax
-    import jax.numpy as jnp
+def build_eval():
+    import numpy as np
     from zeroshotsemanticsegmentation_tpu.ops.metrics import (
         unseen_mask_vector)
     from zeroshotsemanticsegmentation_tpu.train.steps import (
         make_fcn_eval_step)
     model, batch, params, embed = _common()
-    val_unseen = jnp.asarray(unseen_mask_vector(21, [1, 13]))
+    val_unseen = np.asarray(unseen_mask_vector(21, [1, 13]))
     step = make_fcn_eval_step(model, loss_name="cos", num_classes=21,
                               embeddings=embed, val_unseen_vec=val_unseen,
                               fused=True)
-    return step.lower(params, batch)
+    return step, (params, batch)
 
 
-def lower_seenmask():
+def build_seenmask():
     import jax
     import jax.numpy as jnp
+    import numpy as np
     from zeroshotsemanticsegmentation_tpu.ops.metrics import (
         unseen_mask_vector)
     from zeroshotsemanticsegmentation_tpu.train import (
@@ -104,30 +109,34 @@ def lower_seenmask():
     from zeroshotsemanticsegmentation_tpu.train.steps import (
         make_seenmask_train_step)
     model, batch, params, embed = _common()
-    seen_vec = jnp.asarray(~unseen_mask_vector(21, [1, 13]))
+    seen_vec = np.asarray(~unseen_mask_vector(21, [1, 13]))
     tx = make_seenmask_optimizer(params, lr=1e-5)
     step = make_seenmask_train_step(model, tx, seen_vec=seen_vec)
     state = TrainState(params=params, opt_state=jax.jit(tx.init)(params),
                        step=jnp.zeros((), jnp.int32))
-    return step.lower(state, batch, jax.random.PRNGKey(0))
+    return step, (state, batch, jax.random.PRNGKey(0))
 
 
-def lower_serving():
+def build_serving():
     import jax
-    import jax.numpy as jnp
+    import numpy as np
     from zeroshotsemanticsegmentation_tpu.ops.metrics import (
         unseen_mask_vector)
     from zeroshotsemanticsegmentation_tpu.ops.szn_fused import (
         infer_labels_szn_fused)
     model, batch, params, embed = _common()
-    unseen_vec = jnp.asarray(unseen_mask_vector(21, [1, 13]))
+    unseen_vec = np.asarray(unseen_mask_vector(21, [1, 13]))
 
     @jax.jit
     def serve(params, x):
         f_raw, s_raw = model.apply({"params": params}, x, mode="raw")
         return infer_labels_szn_fused(f_raw, s_raw, embed, unseen_vec, (H, W))
 
-    return serve.lower(params, batch["image"][:B_EVAL])
+    return serve, (params, batch["image"][:B_EVAL])
+
+
+BUILDERS = {"train": build_train, "eval": build_eval,
+            "seenmask": build_seenmask, "serving": build_serving}
 
 
 _LOC_RE = re.compile(r'loc\("([^"]*)"')
@@ -157,9 +166,8 @@ def main(argv):
     progs = argv or ["train", "eval", "seenmask", "serving"]
     out = {}
     for p in progs:
-        lowered = {"train": lower_train, "eval": lower_eval,
-                   "seenmask": lower_seenmask, "serving": lower_serving}[p]()
-        out[p] = audit(p, lowered)
+        fn, args = BUILDERS[p]()
+        out[p] = audit(p, fn.lower(*args))
     total = sum(v["dots"] for v in out.values())
     print(json.dumps({k: v["dots"] for k, v in out.items()}))
     with open("/tmp/audit_dots.json", "w") as f:

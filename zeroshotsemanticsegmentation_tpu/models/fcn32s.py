@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from zeroshotsemanticsegmentation_tpu.ops.bilinear import upsample_bilinear_cropped
+from zeroshotsemanticsegmentation_tpu.ops.conv1x1 import conv1x1_mmwgrad
 from zeroshotsemanticsegmentation_tpu.ops.conv7x7 import conv_valid_mmgrad
 from zeroshotsemanticsegmentation_tpu.models.pruned import (
     NUM_PRUNED_BLOCKS, NUM_PRUNED_BLOCKS_SKIP, plan_blocks, prunable,
@@ -66,10 +67,13 @@ class _ConvParams(nn.Module):
     in_features: int
     param_dtype: Any = jnp.float32
     kernel_size: tuple = (3, 3)
+    zero_init: bool = False  # nn.Conv(..., kernel_init=zeros) equivalent
 
     @nn.compact
     def __call__(self):
-        k = self.param("kernel", nn.initializers.lecun_normal(),
+        kinit = (nn.initializers.zeros if self.zero_init
+                 else nn.initializers.lecun_normal())
+        k = self.param("kernel", kinit,
                        self.kernel_size + (self.in_features, self.features),
                        self.param_dtype)
         b = self.param("bias", nn.initializers.zeros_init(),
@@ -92,6 +96,18 @@ def fc6_conv(mdl, h):
 def _conv_nhwc(x, k, padding):
     return jax.lax.conv_general_dilated(
         x, k, (1, 1), padding, dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def conv1x1(mdl, h, name, features, zero_init=False):
+    """1x1 conv (fc7/score heads, reference models.py:88-93,116-127) with
+    nn.Conv-identical params and the Pallas weight gradient — XLA's 1x1-conv
+    weight grad canonicalizes to a dot mid-pipeline, which collapses H2D
+    bandwidth on this platform (ops/conv1x1.py)."""
+    k, bias = _ConvParams(features=features, in_features=h.shape[-1],
+                          kernel_size=(1, 1), param_dtype=mdl.param_dtype,
+                          zero_init=zero_init, name=name)()
+    return (conv1x1_mmwgrad(h.astype(mdl.dtype), k.astype(mdl.dtype))
+            + bias.astype(mdl.dtype))
 
 
 def block_params(mdl, num_blocks: int):
@@ -187,10 +203,6 @@ class FCN32s(nn.Module):
 
         width = self.width
 
-        def conv(h, name, features, kernel, padding):
-            return nn.Conv(features, kernel, padding=padding, dtype=self.dtype,
-                           param_dtype=self.param_dtype, name=name)(h)
-
         def run_block(mdl, h, bi):
             for c, (name, features) in enumerate(_VGG_BLOCKS[bi]):
                 pad = _PAD_CONV1 if (bi == 0 and c == 0) else 1
@@ -212,15 +224,15 @@ class FCN32s(nn.Module):
         h = nn.relu(fc6_conv(self, h))
         h = nn.Dropout(self.dropout_rate, broadcast_dims=(1, 2),
                        deterministic=not train)(h)
-        h = nn.relu(conv(h, "fc7", width(4096), (1, 1), "VALID"))
+        h = nn.relu(conv1x1(self, h, "fc7", width(4096)))
         h = nn.Dropout(self.dropout_rate, broadcast_dims=(1, 2),
                        deterministic=not train)(h)
 
         # Both 1x1 head convs always exist as params (the reference module owns
         # both heads whichever mode runs); only the requested head is upsampled
         # and XLA dead-code-eliminates an unused score conv under jit.
-        f_small = conv(h, "score_fr", self.num_classes, (1, 1), "VALID")
-        s_small = conv(h, "seenmask_score", 2, (1, 1), "VALID")
+        f_small = conv1x1(self, h, "score_fr", self.num_classes)
+        s_small = conv1x1(self, h, "seenmask_score", 2)
         if mode == "raw":
             return f_small, s_small
 

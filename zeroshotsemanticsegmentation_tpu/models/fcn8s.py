@@ -28,7 +28,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from zeroshotsemanticsegmentation_tpu.models.fcn32s import (
-    _PAD_CONV1, _VGG_BLOCKS, _max_pool_ceil, fc6_conv,
+    _PAD_CONV1, _VGG_BLOCKS, _max_pool_ceil, conv1x1, fc6_conv,
     run_blocks_maybe_pruned)
 from zeroshotsemanticsegmentation_tpu.models.pruned import (
     NUM_PRUNED_BLOCKS_SKIP)
@@ -61,14 +61,6 @@ class FCN8s(nn.Module):
         in_h, in_w = x.shape[1], x.shape[2]
         width = self.width
 
-        def conv(h, name, features, kernel, padding, zero_init=False):
-            kw = {}
-            if zero_init:
-                kw["kernel_init"] = nn.initializers.zeros
-                kw["bias_init"] = nn.initializers.zeros
-            return nn.Conv(features, kernel, padding=padding, dtype=self.dtype,
-                           param_dtype=self.param_dtype, name=name, **kw)(h)
-
         def run_block(mdl, h, bi):
             for c, (name, features) in enumerate(_VGG_BLOCKS[bi]):
                 pad = _PAD_CONV1 if (bi == 0 and c == 0) else 1
@@ -96,17 +88,17 @@ class FCN8s(nn.Module):
         h = nn.relu(fc6_conv(self, h))
         h = nn.Dropout(self.dropout_rate, broadcast_dims=(1, 2),
                        deterministic=not train)(h)
-        h = nn.relu(conv(h, "fc7", width(4096), (1, 1), "VALID"))
+        h = nn.relu(conv1x1(self, h, "fc7", width(4096)))
         h = nn.Dropout(self.dropout_rate, broadcast_dims=(1, 2),
                        deterministic=not train)(h)
 
         # all head params exist regardless of mode (unused ones are DCE'd)
-        f = conv(h, "score_fr", self.num_classes, (1, 1), "VALID")
-        s_small = conv(h, "seenmask_score", 2, (1, 1), "VALID")
-        p4 = conv(pool4, "score_pool4", self.num_classes, (1, 1), "VALID",
-                  zero_init=True).astype(jnp.float32)
-        p3 = conv(pool3, "score_pool3", self.num_classes, (1, 1), "VALID",
-                  zero_init=True).astype(jnp.float32)
+        f = conv1x1(self, h, "score_fr", self.num_classes)
+        s_small = conv1x1(self, h, "seenmask_score", 2)
+        p4 = conv1x1(self, pool4, "score_pool4", self.num_classes,
+                     zero_init=True).astype(jnp.float32)
+        p3 = conv1x1(self, pool3, "score_pool3", self.num_classes,
+                     zero_init=True).astype(jnp.float32)
 
         def up_full(t, stride, kernel):
             # uncropped transposed-conv output length (in-1)*s + K

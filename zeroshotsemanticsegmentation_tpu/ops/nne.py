@@ -94,6 +94,13 @@ def infer_labels_forced_unseen(score: jnp.ndarray, target: jnp.ndarray,
                                unseen_class_mask: jnp.ndarray) -> jnp.ndarray:
     """Oracle stitching from ground-truth membership (reference utils.py:188-192)."""
     tgt_safe = jnp.clip(target, 0, embeddings.shape[0] - 1)
-    pixel_unseen = unseen_class_mask[tgt_safe] & (target >= 0)
+    # Gather-free lookup of mask[tgt]: compare against class iota and reduce.
+    # (Per-pixel gathers serialize on TPU; unseen_class_mask may be a host np
+    # array — jnp.asarray inlines it as a literal, keeping the program
+    # device-const-free.)
+    mask = jnp.asarray(unseen_class_mask, dtype=bool)
+    k_iota = jnp.arange(embeddings.shape[0], dtype=jnp.int32)
+    pixel_unseen = jnp.any((tgt_safe[..., None] == k_iota) & mask, axis=-1)
+    pixel_unseen = pixel_unseen & (target >= 0)
     return infer_labels_stitched(score, embeddings, unseen_class_mask,
                                  pixel_unseen)

@@ -35,7 +35,17 @@ def _rup(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _kernel_accum_out(a_ref, b_ref, o_ref, *, nk: int, precision):
+def _block_dot(a, b, precision, trans_a):
+    # native MXU contraction over a's rows when trans_a (no transpose op:
+    # dot_general dimension numbers express it directly)
+    contract = (((0,) if trans_a else (1,)), (0,))
+    return jax.lax.dot_general(a, b, (contract, ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=precision)
+
+
+def _kernel_accum_out(a_ref, b_ref, o_ref, *, nk: int, precision,
+                      trans_a: bool):
     """fp32 output: accumulate straight into the resident out block (its
     index map ignores k, so Pallas keeps it in VMEM across the K loop) —
     no separate accumulator, halving the block footprint."""
@@ -45,21 +55,18 @@ def _kernel_accum_out(a_ref, b_ref, o_ref, *, nk: int, precision):
     def _init():
         o_ref[...] = jnp.zeros_like(o_ref)
 
-    o_ref[...] += jnp.dot(a_ref[...], b_ref[...],
-                          preferred_element_type=jnp.float32,
-                          precision=precision)
+    o_ref[...] += _block_dot(a_ref[...], b_ref[...], precision, trans_a)
 
 
-def _kernel_scratch(a_ref, b_ref, o_ref, acc_ref, *, nk: int, precision):
+def _kernel_scratch(a_ref, b_ref, o_ref, acc_ref, *, nk: int, precision,
+                    trans_a: bool):
     k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    acc_ref[...] += jnp.dot(a_ref[...], b_ref[...],
-                            preferred_element_type=jnp.float32,
-                            precision=precision)
+    acc_ref[...] += _block_dot(a_ref[...], b_ref[...], precision, trans_a)
 
     @pl.when(k == nk - 1)
     def _emit():
@@ -67,41 +74,55 @@ def _kernel_scratch(a_ref, b_ref, o_ref, acc_ref, *, nk: int, precision):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "out_dtype", "bm", "bn", "bk", "highest", "interpret"))
+    "out_dtype", "bm", "bn", "bk", "highest", "interpret", "trans_a"))
 def pdot(a: jnp.ndarray, b: jnp.ndarray, *, out_dtype=None,
          bm: int | None = None, bn: int | None = None, bk: int | None = None,
-         highest: bool = False, interpret: bool | None = None) -> jnp.ndarray:
+         highest: bool = False, interpret: bool | None = None,
+         trans_a: bool = False) -> jnp.ndarray:
     """(M, K) @ (K, N) -> (M, N) with fp32 accumulation, as a Pallas kernel.
+
+    `trans_a=True` takes `a` as (K, M) and computes aᵀ @ b without
+    materializing the transpose (the in-kernel dot_general contracts a's
+    rows natively) — the shape class of conv weight gradients.
 
     `highest=True` requests full-fp32 multiplies (multi-pass MXU), matching
     `precision=HIGHEST` XLA dots on parity-critical fp32 paths; default is
     the native pass for the input dtype (bf16 in, fp32 accumulate — the same
     numerics as XLA's default conv/dot lowering).
     """
-    if a.ndim != 2 or b.ndim != 2 or a.shape[1] != b.shape[0]:
+    if a.ndim != 2 or b.ndim != 2:
         raise ValueError(f"pdot shapes {a.shape} @ {b.shape}")
-    m, k = a.shape
+    m, k = (a.shape[1], a.shape[0]) if trans_a else a.shape
+    if k != b.shape[0]:
+        raise ValueError(f"pdot shapes {a.shape} @ {b.shape} "
+                         f"(trans_a={trans_a})")
     _, n = b.shape
     out_dtype = out_dtype or jnp.promote_types(a.dtype, b.dtype)
     interpret = _interpret_default() if interpret is None else interpret
 
-    bm = bm or min(1024, _rup(m, 8))
+    bm = bm or min(1024, _rup(m, 8 if not trans_a else 128))
     bn = bn or min(512, _rup(n, 128))
-    bk = bk or min(512, _rup(k, 128))
+    bk = bk or min(512, _rup(k, 128 if not trans_a else 8))
     mp, kp, np_ = _rup(m, bm), _rup(k, bk), _rup(n, bn)
-    ap = jnp.pad(a, ((0, mp - m), (0, kp - k))) if (mp, kp) != (m, k) else a
+    a_pads = (((0, kp - k), (0, mp - m)) if trans_a
+              else ((0, mp - m), (0, kp - k)))
+    ap = a if all(p == (0, 0) for p in a_pads) else jnp.pad(a, a_pads)
     bp = jnp.pad(b, ((0, kp - k), (0, np_ - n))) if (kp, np_) != (k, n) else b
     nk = kp // bk
 
+    a_spec = (pl.BlockSpec((bk, bm), lambda i, j, kk: (kk, i),
+                           memory_space=pltpu.VMEM) if trans_a
+              else pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk),
+                                memory_space=pltpu.VMEM))
     accum_out = jnp.dtype(out_dtype) == jnp.float32
     kern = _kernel_accum_out if accum_out else _kernel_scratch
     precision = jax.lax.Precision.HIGHEST if highest else None
     out = pl.pallas_call(
-        functools.partial(kern, nk=nk, precision=precision),
+        functools.partial(kern, nk=nk, precision=precision,
+                          trans_a=trans_a),
         grid=(mp // bm, np_ // bn, nk),
         in_specs=[
-            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk),
-                         memory_space=pltpu.VMEM),
+            a_spec,
             pl.BlockSpec((bk, bn), lambda i, j, kk: (kk, j),
                          memory_space=pltpu.VMEM),
         ],

@@ -36,7 +36,7 @@ def run(n_devices: int, *, channel_scale: float = 0.5,
 
     from zeroshotsemanticsegmentation_tpu.models import FCN32s
     from zeroshotsemanticsegmentation_tpu.parallel import (
-        make_mesh, make_multislice_mesh, replicate, shard_batch,
+        make_mesh, make_multislice_mesh, shard_batch,
         shard_params)
     from zeroshotsemanticsegmentation_tpu.train import make_fcn_optimizer
     from zeroshotsemanticsegmentation_tpu.train.state import TrainState
@@ -73,9 +73,11 @@ def run(n_devices: int, *, channel_scale: float = 0.5,
         jax.random.PRNGKey(0), jnp.zeros((1, bucket, bucket, 3)),
         mode="both"))()["params"]
     params = shard_params(params, mesh)
-    emb = replicate(jnp.asarray(embed), mesh)
-    unseen_vec = replicate(
-        jnp.asarray(unseen_mask_vector(21, [1, 13])), mesh)
+    # embeddings/mask vectors stay host np: the step factories inline them
+    # as HLO literals (GSPMD replicates literals for free), and jit-captured
+    # device consts collapse H2D on the axon platform (steps._host_const)
+    emb = embed
+    unseen_vec = unseen_mask_vector(21, [1, 13])
 
     tx = make_fcn_optimizer(params, optim="adam", lr=1e-5)
     opt_state = jax.jit(tx.init)(params)

@@ -17,6 +17,35 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+def _host_const(x, dtype=None):
+    """Normalize a factory-captured constant to host numpy.
+
+    The step factories close over small constants (class embeddings,
+    seen/unseen mask vectors); jit records them as jaxpr consts, and
+    lowering a DEVICE-array const reads it back to the host to inline the
+    literal — and on this platform ANY device->host readback permanently
+    collapses host->device bandwidth to ~15-40 MB/s (scripts/probe_h2d.py
+    d2h_only/closure_tiny vs closure_np, bisected 2026-08-18). Host np
+    consts never round-trip. These arrays are tiny (<= num_classes x
+    embed_dim), so literal inlining is free. Guarded by
+    scripts/audit_consts.py.
+
+    If handed a jax.Array this conversion IS itself a readback — warn, so
+    callers keep their constants host-side from birth.
+    """
+    if x is None:
+        return None
+    if isinstance(x, jax.Array):
+        import warnings
+        warnings.warn(
+            "_host_const received a device array; converting reads it back "
+            "to the host, which collapses H2D bandwidth on the axon "
+            "platform (CLAUDE.md). Pass host numpy constants instead.",
+            stacklevel=3)
+    return np.asarray(x, dtype)
 
 from zeroshotsemanticsegmentation_tpu.ops import (
     confusion_matrix, cosine_loss, cross_entropy2d,
@@ -115,6 +144,9 @@ def make_fcn_train_step(model, tx, *, loss_name: str, num_classes: int,
     batch's num_real, so Σ microbatch grads == whole-batch grads (dropout
     draws a distinct key per microbatch; paths coincide when dropout is off).
     """
+    embeddings = _host_const(embeddings, np.float32)
+    target_embeddings = _host_const(target_embeddings, np.float32)
+    all_unseen_vec = _host_const(all_unseen_vec)
     if target_embeddings is None:
         target_embeddings = embeddings
     loss_one = _per_sample_fcn_loss(loss_name, target_embeddings)
@@ -248,6 +280,10 @@ def make_fcn_eval_step(model, *, loss_name: str, num_classes: int,
     from the per-sample chunked upsample — full-res score volumes never hit
     HBM (~28 MB vs ~700 MB of traffic per batch at B=16 512²).
     """
+    embeddings = _host_const(embeddings, np.float32)
+    target_embeddings = _host_const(target_embeddings, np.float32)
+    all_unseen_vec = _host_const(all_unseen_vec)
+    val_unseen_vec = _host_const(val_unseen_vec)
     if target_embeddings is None:
         target_embeddings = embeddings
     loss_one = _per_sample_fcn_loss(loss_name, target_embeddings)
@@ -297,6 +333,10 @@ def make_szn_eval_step(model, *, loss_name: str, num_classes: int,
 
     `fused`: serving-path inference (ops.szn_fused from the raw heads) +
     chunked per-sample loss; equivalent up to fp argmax ties (tested)."""
+    embeddings = _host_const(embeddings, np.float32)
+    target_embeddings = _host_const(target_embeddings, np.float32)
+    all_unseen_vec = _host_const(all_unseen_vec)
+    val_unseen_vec = _host_const(val_unseen_vec)
     if target_embeddings is None:
         target_embeddings = embeddings
     loss_one = _per_sample_fcn_loss(loss_name, target_embeddings)
@@ -368,6 +408,7 @@ def make_seenmask_train_step(model, tx, *, seen_vec):
     backbone backward (2/3 of a full step) is never built. Frozen params
     get zero gradients, which the masked optimizer ignores anyway.
     """
+    seen_vec = _host_const(seen_vec)
     _HEAD = "seenmask_score"
 
     @jax.jit
@@ -411,6 +452,8 @@ def make_seenmask_train_step(model, tx, *, seen_vec):
 
 
 def make_seenmask_eval_step(model, *, seen_vec):
+    seen_vec = _host_const(seen_vec)
+
     @jax.jit
     def eval_step(params, batch):
         images, labels = _prepare_batch(batch)

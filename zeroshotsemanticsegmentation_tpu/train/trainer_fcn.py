@@ -213,23 +213,26 @@ class FCNTrainer:
         # (reference trainer_fcn.py:44,56-64); metric breakdown uses
         # val_unseen only (trainer_fcn.py:223)
         self.all_unseen = tuple(cfg.train_unseen) + tuple(cfg.val_unseen)
-        all_unseen_vec = jnp.asarray(unseen_mask_vector(n, self.all_unseen))
-        val_unseen_vec = jnp.asarray(unseen_mask_vector(n, cfg.val_unseen))
+        # embeddings/mask vectors stay HOST numpy: the step factories close
+        # over them, and lowering a jit-captured DEVICE array reads it back
+        # to the host — and ANY device->host readback collapses H2D
+        # bandwidth on this platform (probe_h2d d2h_* bisect;
+        # steps._host_const). As np consts they inline into the HLO as
+        # literals, which GSPMD replicates for free — no mesh replicate().
+        all_unseen_vec = np.asarray(unseen_mask_vector(n, self.all_unseen))
+        val_unseen_vec = np.asarray(unseen_mask_vector(n, cfg.val_unseen))
         self.zeroshot = bool(self.all_unseen)
 
-        emb = None if embeddings is None else jnp.asarray(embeddings)
-        temb = None if target_embeddings is None else jnp.asarray(target_embeddings)
+        emb = None if embeddings is None else np.asarray(embeddings,
+                                                         np.float32)
+        temb = (None if target_embeddings is None
+                else np.asarray(target_embeddings, np.float32))
         self.embeddings = emb
 
         if mesh is not None:
             from zeroshotsemanticsegmentation_tpu.parallel import (
-                replicate, shard_params)
+                shard_params)
             params = shard_params(params, mesh)
-            if emb is not None:
-                emb = replicate(emb, mesh)
-                self.embeddings = emb
-            if temb is not None:
-                temb = replicate(temb, mesh)
         if opt_state is None:
             opt_state = jax.jit(tx.init)(params)
         elif mesh is not None:

@@ -53,7 +53,7 @@ class SeenmaskTrainer:
         # seen = classes not in train_unseen (reference train.py:192,
         # trainer_seenmask.py:55)
         seen = np.array([c not in set(cfg.train_unseen) for c in range(n)])
-        seen_vec = jnp.asarray(seen)
+        seen_vec = seen  # host np: jit-captured device consts collapse H2D
 
         if mesh is not None:
             from zeroshotsemanticsegmentation_tpu.parallel import shard_params

@@ -306,3 +306,36 @@ def test_echo_feed_semantics():
         raise AssertionError("expected RuntimeError")
     except RuntimeError:
         pass
+
+
+def test_step_log_buffer_flush_modes():
+    """flush_steps=N emits in bursts of N; 0 defers everything to flush()
+    (epoch-end-only host fetch, CLAUDE.md H2D trigger-1 avoidance)."""
+    from zeroshotsemanticsegmentation_tpu.train.trainer_fcn import (
+        StepLogBuffer)
+
+    rows = []
+    buf = StepLogBuffer(2, lambda meta, aux: rows.append((meta, aux)))
+    buf.push(("a",), {"loss": 1.0})
+    assert rows == []                     # below threshold: deferred
+    buf.push(("b",), {"loss": 2.0})
+    assert [m for m, _ in rows] == [("a",), ("b",)]  # burst of 2, in order
+
+    rows.clear()
+    buf0 = StepLogBuffer(0, lambda meta, aux: rows.append((meta, aux)))
+    for i in range(50):
+        buf0.push((i,), {"loss": float(i)})
+    assert rows == []                     # nothing until explicit flush
+    buf0.flush()
+    assert len(rows) == 50
+    assert [m for m, _ in rows] == [(i,) for i in range(50)]
+
+
+def test_epoch_end_only_logging_end_to_end(tmp_path):
+    """log_flush_steps=0 still produces every per-iteration CSV row."""
+    cfg = tiny_cfg(log_flush_steps=0)
+    out = run_tiny(tmp_path, cfg, log_name="flush0")
+    tr = pd.read_csv(osp.join(out["log_dir"], "train_log.csv"))
+    assert len(tr) == 2 * 3  # 2 epochs x 3 batches, no row lost
+    assert np.isfinite(tr["train/loss"]).all()
+    assert tr["iteration"].tolist() == sorted(tr["iteration"].tolist())

@@ -235,6 +235,11 @@ def run_experiment(cfg, *, preset: int = 0, name: str | None = None,
         summary["mean_iu"] = fcn_trainer.validate(both_fcn_and_seenmask=False)
     elif cfg.mode == "test_all":
         summary["mean_iu"] = fcn_trainer.validate(both_fcn_and_seenmask=True)
+    # saves overlap training (checkpoint._save_one block=False); by the time
+    # this function returns every artifact must be on disk — a caller that
+    # immediately reads or deletes log_dir would otherwise race the async
+    # orbax writer (the atexit hook only covers process exit)
+    ckpt.finish_pending()
     logger.close()
     return summary
 

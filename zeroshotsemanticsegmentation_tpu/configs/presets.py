@@ -49,7 +49,9 @@ class Config:
     # logged steps buffered before one host fetch: a per-step scalar fetch
     # syncs the dispatch queue (~30 ms RPC on this platform, ~15% of a step);
     # buffering keeps the reference's per-iteration rows while the device
-    # runs ahead. 1 = reference-exact immediate logging.
+    # runs ahead. 1 = reference-exact immediate logging; 0 = fetch only at
+    # epoch end (keeps epoch 1's feed at full H2D bandwidth — the first
+    # readback collapses the link on this platform, CLAUDE.md trigger 1).
     log_flush_steps: int = 16
     max_train_images: int = 0              # 0 => dataset default budget
     num_viz: int = 25                      # reference trainer_fcn.py:204
@@ -170,6 +172,8 @@ def validate_config(cfg: Config) -> None:
         raise ValueError("batch sizes must divide by data_parallel")
     if cfg.data_echo not in ("off", "auto"):
         raise ValueError(f"unknown data_echo {cfg.data_echo!r}")
+    if cfg.log_flush_steps < 0:
+        raise ValueError("log_flush_steps must be >= 0 (0 = epoch-end only)")
     if cfg.fused_block1 not in ("off", "on", "auto"):
         raise ValueError(f"unknown fused_block1 {cfg.fused_block1!r}")
     if len(cfg.bucket) != 2 or min(cfg.bucket) < 1:

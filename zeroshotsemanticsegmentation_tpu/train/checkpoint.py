@@ -53,6 +53,13 @@ import atexit  # noqa: E402
 atexit.register(lambda: _finish_pending())
 
 
+def finish_pending() -> None:
+    """Public barrier: block until the in-flight async save (if any) has
+    fully landed, including its meta.json validity marker. Call before
+    reading or deleting a log_dir from the saving process."""
+    _finish_pending()
+
+
 def _finish_pending() -> None:
     """Complete the previous async save (write its meta.json marker)."""
     global _PENDING_META

@@ -170,10 +170,15 @@ class StepLogBuffer:
     logged iteration (reference cadence, trainer_fcn.py:160-178). stdout
     rows appear in bursts of <= flush_steps; CSV timestamps are captured at
     step time (host clock, no sync). flush_steps=1 restores the
-    reference-exact immediate behavior."""
+    reference-exact immediate behavior; flush_steps=0 defers EVERY fetch to
+    the epoch-end flush() — on this platform the first device->host readback
+    permanently collapses H2D bandwidth (CLAUDE.md trigger 1), so an
+    epoch-end-only fetch keeps the whole first epoch's feed at full rate
+    (data_echo covers later epochs)."""
 
     def __init__(self, flush_steps: int, emit):
-        self._flush_steps = max(1, int(flush_steps))
+        fs = int(flush_steps)
+        self._flush_steps = fs if fs >= 1 else float("inf")
         self._emit = emit
         self._pending: list = []
 

@@ -75,8 +75,8 @@ def bench_inference() -> dict:
     x = jnp.asarray(rng.randn(BATCH, H, W, 3).astype(np.float32) * 40)
     params = jax.jit(lambda: model.init(jax.random.PRNGKey(0), x[:1],
                                         mode="both"))()["params"]
-    embed = jnp.asarray(load_class_embeddings("pascal", 20))
-    unseen_vec = jnp.asarray(unseen_mask_vector(21, [1, 13]))
+    embed = np.asarray(load_class_embeddings("pascal", 20), np.float32)
+    unseen_vec = np.asarray(unseen_mask_vector(21, [1, 13]))
 
     @jax.jit
     def chained(params, x):
@@ -138,7 +138,9 @@ def bench_train() -> dict:
     params = jax.jit(lambda: model.init(jax.random.PRNGKey(0),
                                         batch["image"][:1],
                                         mode="both"))()["params"]
-    embed = jnp.asarray(load_class_embeddings("pascal", 20))
+    # host np: the step factory closes over it; a jit-captured DEVICE array
+    # is read back at lowering and collapses H2D bandwidth (CLAUDE.md)
+    embed = np.asarray(load_class_embeddings("pascal", 20), np.float32)
     tx = make_fcn_optimizer(params, optim="adam", lr=1e-5)
     step = make_fcn_train_step(model, tx, loss_name="cos", num_classes=21,
                                embeddings=embed)

@@ -57,6 +57,7 @@ def main():
     ap.add_argument("--topk", type=int, default=25)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--no_prune", action="store_true")
+    ap.add_argument("--no_fused_block1", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -76,12 +77,14 @@ def main():
     B, H, W = args.batch, 512, 512
     rng = np.random.RandomState(0)
     model = FCN32s(num_classes=20, dtype=jnp.bfloat16,
-                   prune_pad=not args.no_prune)
+                   prune_pad=not args.no_prune,
+                   fused_block1=not args.no_fused_block1)
     x = jnp.asarray(rng.randn(B, H, W, 3).astype(np.float32) * 40)
     params = jax.jit(lambda: model.init(jax.random.PRNGKey(0), x[:1],
                                         mode="both"))()["params"]
-    embed = jnp.asarray(load_class_embeddings("pascal", 20))
-    unseen_vec = jnp.asarray(unseen_mask_vector(21, [1, 13]))
+    # host np: jit-captured device consts collapse H2D (CLAUDE.md trigger 1)
+    embed = np.asarray(load_class_embeddings("pascal", 20), np.float32)
+    unseen_vec = np.asarray(unseen_mask_vector(21, [1, 13]))
 
     if args.train:
         from zeroshotsemanticsegmentation_tpu.train import make_fcn_optimizer

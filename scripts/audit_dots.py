@@ -163,6 +163,10 @@ def main(argv):
     assert jax.default_backend() == "tpu", (
         "run under the TPU backend — on CPU, Pallas interpret mode inlines "
         "kernel bodies as real dots and the audit false-positives")
+    # the audit is about the dot-free MODE (ops/dotpolicy.py) — pin it on,
+    # whatever SZN_DOT_FREE says in this shell
+    from zeroshotsemanticsegmentation_tpu.ops import dotpolicy
+    dotpolicy.set_dot_free(True)
     progs = argv or ["train", "eval", "seenmask", "serving"]
     out = {}
     for p in progs:

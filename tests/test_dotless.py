@@ -12,8 +12,17 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+from zeroshotsemanticsegmentation_tpu.ops import dotpolicy
 from zeroshotsemanticsegmentation_tpu.ops.dotless import (
     matvec, proj_rows, select_rows)
+
+
+@pytest.fixture(autouse=True)
+def _pin_dot_free():
+    """These tests exercise the dot-free lowering specifically."""
+    dotpolicy.set_dot_free(True)
+    yield
+    dotpolicy.set_dot_free(None)
 
 
 def _assert_dot_free(fn, *args):

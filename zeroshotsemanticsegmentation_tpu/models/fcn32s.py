@@ -153,7 +153,7 @@ def _max_pool_ceil(x: jnp.ndarray) -> jnp.ndarray:
     Odd spatial dims are right/bottom padded (with -inf, inside nn.max_pool)
     so the trailing row/col forms its own window. Stays on nn.max_pool /
     select-and-scatter: three replacement backwards were measured slower
-    in-context (ops/pool.py docstring + PLAN.md shelved findings) because
+    in-context (scripts/experiments/pool_bwd_pallas.py docstring + PLAN.md shelved findings) because
     the S&S fuses with the surrounding backward while custom formulations
     add unfusable pad/reshape traffic.
     """

@@ -130,7 +130,20 @@ def _axis_upsample_plan(in_len: int, stride: int, kernel_size: int,
 
 def _axis_upsample(x: jnp.ndarray, axis: int, *, stride: int,
                    kernel_size: int, crop_offset: int, out_len: int) -> jnp.ndarray:
-    """Bilinear ×stride upsample + crop along one axis, fp32, gather/dot-free."""
+    """Bilinear ×stride upsample + crop along one axis, fp32, gather-free.
+
+    Two lowerings, selected by ops.dotpolicy (bit-identical at fp32 — the
+    matrix rows' extra terms are exact zeros and adding 0.0 never rounds):
+    the interpolation-matrix contraction (MXU form, clean TPUs) or the
+    pad→repeat→slice tap blend (dot-free form, axon tunnel).
+    """
+    from zeroshotsemanticsegmentation_tpu.ops.dotpolicy import dot_free
+    if not dot_free():
+        m = jnp.asarray(upsample_matrix(x.shape[axis], stride, kernel_size,
+                                        crop_offset, out_len))  # (out, in)
+        y = jnp.tensordot(x.astype(jnp.float32), m, axes=[[axis], [1]],
+                          precision=jax.lax.Precision.HIGHEST)
+        return jnp.moveaxis(y, -1, axis)
     pad_l, pad_r, plan = _axis_upsample_plan(
         x.shape[axis], stride, kernel_size, crop_offset, out_len)
     pads = [(0, 0, 0)] * x.ndim

@@ -436,7 +436,7 @@ def fused_block1(xp, k1, b1, k2, b2, *, dtype=jnp.bfloat16):
 #
 # * routing: first-max in the original row-major window scan order
 #   ((2r,2c),(2r,2c+1),(2r+1,2c),(2r+1,2c+1)), matching XLA
-#   select-and-scatter / torch MaxPool2d tie-breaking (ops/pool.py), then
+#   select-and-scatter / torch MaxPool2d tie-breaking (scripts/experiments/pool_bwd_pallas.py), then
 #   relu'(pre > 0) (jax.nn.relu semantics: zero subgradient at 0).
 # * dK[eo,tap] += dz_eo^T @ lhs (one dz transpose per parity, accumulated
 #   fp32 in a VMEM-resident output block across the whole grid; emitted

@@ -37,13 +37,22 @@ def _conv1x1(x, k):
         x, k, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
-@jax.custom_vjp
 def conv1x1_mmwgrad(x, k):
-    """NHWC 1x1 VALID conv; weight grad runs as a Pallas matmul.
+    """NHWC 1x1 VALID conv; under dot-free policy the weight grad runs as a
+    Pallas matmul (see module doc), otherwise XLA's standard autodiff (which
+    canonicalizes the wgrad to an MXU dot — the fast form on clean TPUs).
 
     x: (B, H, W, CI); k: (1, 1, CI, CO), both already in the compute dtype
     (cast params before calling, as nn.Conv would).
     """
+    from zeroshotsemanticsegmentation_tpu.ops.dotpolicy import dot_free
+    if not dot_free():
+        return _conv1x1(x, k)
+    return _conv1x1_dotfree(x, k)
+
+
+@jax.custom_vjp
+def _conv1x1_dotfree(x, k):
     return _conv1x1(x, k)
 
 
@@ -64,4 +73,4 @@ def _bwd(res, g):
     return dx, dk.reshape(k.shape)
 
 
-conv1x1_mmwgrad.defvjp(_fwd, _bwd)
+_conv1x1_dotfree.defvjp(_fwd, _bwd)

@@ -65,13 +65,19 @@ def _bwd(res, g):
     _, kvjp = jax.vjp(lambda kk: _conv_valid(x, kk), k)
     (dk,) = kvjp(g)
     # input grad: dense matmul (forward FLOPs exactly) + static overlap-add.
-    # The matmul runs as the Pallas twin (ops/pdot.py) — an XLA dot here
-    # would collapse H2D bandwidth for the whole process (CLAUDE.md); the
-    # numerics are identical (fp32 MXU accumulation, one cast to x.dtype).
-    from zeroshotsemanticsegmentation_tpu.ops.pdot import pdot
+    # Under dot-free policy the matmul runs as the Pallas twin (ops/pdot.py)
+    # — an XLA dot would collapse H2D bandwidth on the axon tunnel
+    # (CLAUDE.md); on clean TPUs it is a plain XLA dot. Numerics are
+    # identical (fp32 MXU accumulation, one cast to x.dtype).
+    from zeroshotsemanticsegmentation_tpu.ops.dotpolicy import dot_free
     km = k.transpose(3, 0, 1, 2).reshape(co, kh * kw * ci)
-    col = pdot(g.reshape(b * oh * ow, co), km,
-               out_dtype=jnp.float32).astype(x.dtype)
+    if dot_free():
+        from zeroshotsemanticsegmentation_tpu.ops.pdot import pdot
+        col = pdot(g.reshape(b * oh * ow, co), km,
+                   out_dtype=jnp.float32).astype(x.dtype)
+    else:
+        col = jax.lax.dot(g.reshape(b * oh * ow, co), km,
+                          preferred_element_type=jnp.float32).astype(x.dtype)
     col = col.reshape(b, oh, ow, kh, kw, ci)
     dx = jnp.zeros((b, oh + kh - 1, ow + kw - 1, ci), jnp.float32)
     for dh in range(kh):

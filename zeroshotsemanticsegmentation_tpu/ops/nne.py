@@ -10,7 +10,7 @@ similarity, a zeroed row wins. That quirk is load-bearing for parity, so the
 restricted argmax here masks similarities to 0.0, not -inf.
 
 This module is the straight-line XLA implementation (single fused program
-under jit); `nne_pallas.py` provides the hand-fused Pallas kernel for the hot
+under jit); `szn_fused.py` provides the hand-fused Pallas kernel for the hot
 eval path. Both share these semantics and are cross-checked in tests.
 """
 
@@ -30,11 +30,11 @@ def cosine_similarities(score: jnp.ndarray, embeddings: jnp.ndarray) -> jnp.ndar
     from zeroshotsemanticsegmentation_tpu.ops.dotless import proj_rows
     s = score.astype(jnp.float32)
     e = embeddings.astype(jnp.float32)
-    # fp32 multiply-reduce, not an einsum: numerically this is the old
-    # HIGHEST-precision matmul (the TPU default bf16-level matmul pass would
-    # flip argmaxes between near-tied classes vs the fp32 reference), and it
-    # keeps the program dot-free (any XLA dot collapses H2D bandwidth on
-    # this platform — CLAUDE.md / scripts/probe_h2d.py)
+    # fp32 contraction via ops.dotless (policy-selected lowering): the TPU
+    # default bf16-level matmul would flip argmaxes between near-tied
+    # classes vs the fp32 reference, so both forms accumulate fp32; the
+    # dot-free form additionally keeps the program safe on the axon tunnel
+    # (CLAUDE.md / scripts/probe_h2d.py)
     sims = proj_rows(s, e)
     # double-where: keeps the (rarely used) backward pass finite at zero norms
     s_norm2 = jnp.sum(s * s, axis=-1, keepdims=True)

@@ -66,17 +66,21 @@ def _interpret_default() -> bool:
 
 
 @functools.partial(jax.jit, static_argnames=("out_h", "out_w", "row_tile",
-                                             "interpret"))
+                                             "interpret", "dot_free_mode"))
 def _fused(score_small, gate_small, embed_scaled, seen_mask, unseen_mask,
-           fill, out_h: int, out_w: int, row_tile: int, interpret: bool):
+           fill, out_h: int, out_w: int, row_tile: int, interpret: bool,
+           dot_free_mode: bool = True):
     b, h32, w32, c = score_small.shape
     k = embed_scaled.shape[0]
+    del dot_free_mode  # cache key only — proj_rows/_axis_upsample branch on
+    # the same process-level policy this value was read from (dotpolicy.py)
 
-    # dot-free pre-stage (any XLA dot collapses H2D bandwidth on this
-    # platform — CLAUDE.md): class projection as a fused multiply-reduce,
-    # row-axis upsample as the 2-tap blend of ops.bilinear. Both are fp32,
-    # numerically the old HIGHEST-precision einsums. The (k, w) transpose
-    # happens on the tiny 1/32-res tensor, before the 32x row expansion.
+    # Pre-stage, policy-selected lowering (ops/dotpolicy.py): dot-free on
+    # the axon tunnel (any XLA dot collapses H2D bandwidth — CLAUDE.md):
+    # class projection as a fused multiply-reduce, row-axis upsample as the
+    # 2-tap blend of ops.bilinear; MXU HIGHEST-precision einsums on clean
+    # TPUs. Both fp32, bit-identical. The (k, w) transpose happens on the
+    # tiny 1/32-res tensor, before the 32x row expansion.
     from zeroshotsemanticsegmentation_tpu.ops.dotless import proj_rows
     sims = proj_rows(score_small, embed_scaled)
     aug = jnp.concatenate([sims, gate_small[..., None]], axis=-1)  # K+1
@@ -130,14 +134,18 @@ def _fused_call(score_small, gate_small, embed_scaled, seen, unseen, fill,
     instead runs the kernel per data shard on the local batch slice (heads
     batch-sharded, embedding/mask operands replicated) — the same program a
     single chip runs, b/n_data at a time, with no collectives inside."""
+    from zeroshotsemanticsegmentation_tpu.ops.dotpolicy import dot_free
+    df = dot_free()
     if mesh is None or (mesh.shape.get("data", 1)
                         * mesh.shape.get("slice", 1)) == 1:
         return _fused(score_small, gate_small, embed_scaled, seen, unseen,
-                      fill, out_h, out_w, row_tile, interpret)
+                      fill, out_h, out_w, row_tile, interpret,
+                      dot_free_mode=df)
     from jax.sharding import PartitionSpec as P
     from zeroshotsemanticsegmentation_tpu.parallel.mesh import data_axes
     fn = functools.partial(_fused, out_h=out_h, out_w=out_w,
-                           row_tile=row_tile, interpret=interpret)
+                           row_tile=row_tile, interpret=interpret,
+                           dot_free_mode=df)
     b = P(data_axes(mesh))  # ('slice','data') jointly on multi-slice meshes
     return jax.shard_map(fn, mesh=mesh,
                          in_specs=(b, b, P(), P(), P(), P()),

@@ -6,7 +6,7 @@ import numpy as np
 import flax.linen as nn
 import pytest
 
-from zeroshotsemanticsegmentation_tpu.ops.pool import (
+from pool_bwd_pallas import (
     ceil_max_pool_2x2, max_pool_2x2)
 
 

@@ -65,3 +65,5 @@ timeit("conv1_1_pairs (pallas)", lambda x: bf.conv1_1_pairs(x, k1, b1))
 timeit("xla_c11_packed (old)", lambda x: xla_c11_packed(x, k1, b1))
 timeit("fused_block1 (new)", lambda x: bf.fused_block1(x, k1, b1, k2, b2))
 timeit("xla_block1 (plain)", lambda x: bf.xla_block1(x, k1, b1, k2, b2))
+timeit("fused_block1_full (ONE krn)",
+       lambda x: bf.fused_block1_full(x, k1, b1, k2, b2))

@@ -107,6 +107,39 @@ def test_model_with_fused_block1_matches(rng):
     np.testing.assert_allclose(b, a, rtol=0, atol=1e-4)
 
 
+@pytest.mark.parametrize("hw", [(78, 82), (90, 78), (30, 26)])
+def test_fused_block1_full_matches_xla(rng, hw):
+    """The ONE-kernel form (conv1_1 + conv1_2 + pool, c11p never in HBM)
+    == the XLA reference."""
+    hp, wp = hw
+    assert bf.fused_block1_full_supported(hp, wp)
+    xp = jnp.asarray(rng.randn(2, hp, wp, 3).astype(np.float32))
+    k1, b1, k2, b2 = _params(rng)
+    want = np.asarray(bf.xla_block1(xp, k1, b1, k2, b2, dtype=jnp.float32))
+    got = np.asarray(bf.fused_block1_full(xp, k1, b1, k2, b2,
+                                          dtype=jnp.float32))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-4)
+
+
+def test_block1_op_routes_full_when_undifferentiated(rng):
+    """block1_op == full kernel un-differentiated, == two-stage under grad;
+    both match the XLA reference (values AND gradients)."""
+    xp = jnp.asarray(rng.randn(1, 30, 34, 3).astype(np.float32))
+    k1, b1, k2, b2 = _params(rng)
+    want = np.asarray(bf.xla_block1(xp, k1, b1, k2, b2, dtype=jnp.float32))
+    got = np.asarray(bf.block1_op(xp, k1, b1, k2, b2, jnp.float32))
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-4)
+
+    gx = np.asarray(jax.grad(
+        lambda x: jnp.sum(bf.block1_op(x, k1, b1, k2, b2, jnp.float32) ** 2)
+    )(xp))
+    wx = np.asarray(jax.grad(
+        lambda x: jnp.sum(bf.xla_block1(x, k1, b1, k2, b2,
+                                        dtype=jnp.float32) ** 2))(xp))
+    np.testing.assert_allclose(gx, wx, rtol=1e-4, atol=1e-3)
+
+
 @pytest.mark.parametrize("hw", [(38, 42), (66, 34)])
 def test_conv1_1_pairs_matches_conv(rng, hw):
     """The s2d conv1_1 kernel == plain VALID conv+relu, repacked to the

@@ -383,7 +383,8 @@ def _conv2_pool_fwd_impl(c11p, k2p, b2p, q, pairs_p, ph_pad, dtype):
 
 
 def fused_block1(xp, k1, b1, k2, b2, *, dtype=jnp.bfloat16):
-    """conv1_1(VALID) + relu + conv1_2(VALID) + relu + 2x2/2 max-pool.
+    """conv1_1(VALID) + relu + conv1_2(VALID) + relu + 2x2/2 max-pool
+    (TWO-stage form: XLA conv1_1 -> HBM -> Pallas conv1_2+pool).
 
     xp: (B, Hp, Wp, 3) zero-padded input; returns
     (B, (Hp-4)//2, (Wp-4)//2, 64). Requires fused_block1_supported(Hp, Wp).
@@ -391,7 +392,9 @@ def fused_block1(xp, k1, b1, k2, b2, *, dtype=jnp.bfloat16):
     layout directly; conv1_2 + pool run in the Pallas kernel. The whole
     composite is differentiable: conv1_1 grads come from XLA autodiff
     (incl. the packed-kernel/bias transposes), conv1_2/pool grads from the
-    Pallas backward kernel.
+    Pallas backward kernel. This is the TRAINING form (its VJP reuses the
+    c11p intermediate); serving forward uses `fused_block1_full`, which
+    keeps c11p out of HBM entirely.
     """
     B, hp, wp, _ = xp.shape
     ch, cw = hp - 4, wp - 4
@@ -417,6 +420,202 @@ def fused_block1(xp, k1, b1, k2, b2, *, dtype=jnp.bfloat16):
                       jnp.concatenate([b2, b2]).reshape(1, -1).astype(
                           jnp.float32),
                       q, pairs_p, ph_pad, dtype)
+    return out[:, :ph, :pw, :]
+
+
+# --------------------------------------------------------------------------
+# Fully-fused block 1: conv1_1 + conv1_2 + pool in ONE kernel (serving fwd)
+# --------------------------------------------------------------------------
+#
+# The two-stage form's cost split at B=16 530² (scripts/bench_block1.py):
+# XLA packed conv1_1 ~3.3 ms + c11p HBM round-trip ~5 ms + conv1_2 kernel.
+# c11p is 543 MB/batch at 512² — pure bandwidth. This kernel computes the
+# c11p rows each tile needs IN VMEM from the (tiny, 34 MB) space-to-depth
+# input and never materializes them:
+#
+# * XLA side: `_s2d_input` relayout (one cheap pass over the 3-channel
+#   image), rows padded so tile t streams s2d row-pairs [t*tp, t*tp+tp+2).
+# * conv1_1 per tile: the s2d dot of `conv1_1_pairs`, but BATCHED — RC
+#   row-pairs assemble side-by-side in the lane dimension and contract in
+#   one (64, RC*w2p) @ (64, 256) MXU op. The standalone kernel measured
+#   latency-bound at ~4200 one-row-pair dots/batch (5.60 ms); batching
+#   cuts the op count RC-fold and drops the HBM write entirely.
+# * conv1_2 + pool: identical tap machinery to `_kernel`, reading the
+#   VMEM-resident pair buffer instead of a DMA'd c11p tile.
+#
+# Forward-only by construction: `block1_op`'s custom_vjp routes gradients
+# through the two-stage form (whose backward wants c11p in HBM anyway), so
+# training semantics and speed are unchanged.
+
+_RC = 8  # row-pairs per batched conv1_1 dot (bounds the res transient)
+
+
+def _tile_bytes_full(tp: int, pairs_p: int, w2p: int,
+                     itemsize: int = 2) -> int:
+    q = pairs_p - 5
+    qc = min(_Q_CHUNK, q)
+    return (2 * (tp + 2) * 32 * w2p * itemsize     # dbl-buffered s2d tiles
+            + (tp + 1) * 2 * pairs_p * 128 * itemsize  # VMEM c11 pairs
+            + 64 * _RC * w2p * itemsize            # batched s2d lhs
+            + _RC * w2p * 256 * itemsize           # conv1_1 res (dtype)
+            + 8 * tp * qc * 128 * itemsize         # 8 conv1_2 lhs operands
+            + 2 * tp * qc * 128 * 4                # parity accs (fp32)
+            + 2 * tp * q * 64 * itemsize)          # dbl-buffered out
+
+
+def _plan_tiles_full(ph: int, pairs_p: int, w2p: int, itemsize: int = 2):
+    for tp in range(40, 3, -1):
+        if _tile_bytes_full(tp, pairs_p, w2p, itemsize) <= _VMEM_BUDGET:
+            return tp, ph + (-ph) % tp
+    return None
+
+
+def fused_block1_full_supported(hp: int, wp: int, channels: int = 64,
+                                dtype=jnp.bfloat16) -> bool:
+    ch, cw = hp - 4, wp - 4
+    if channels != 64 or ch <= 0 or cw <= 0 or ch % 2 or cw % 2:
+        return False
+    pairs = (cw + 2) // 2
+    pairs_p = -(-(pairs + 4) // 8) * 8
+    w2p = -(-(pairs_p + 1) // 128) * 128
+    return _plan_tiles_full(ch // 2, pairs_p, w2p,
+                            jnp.dtype(dtype).itemsize) is not None
+
+
+def _kernel_full(xs_hbm, k1_ref, b1_ref, k2_ref, b2_ref, out_ref,
+                 xsbuf, pbuf, vbuf, sems,
+                 *, tp, q, pairs_p, w2p, n_tiles, dtype):
+    """Per grid step (b, t): stream s2d rows, build the tile's c11 pairs in
+    VMEM (batched s2d dots), then conv1_2 taps + pool exactly like _kernel."""
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+
+    def copy(slot, tt):
+        return pltpu.make_async_copy(
+            xs_hbm.at[b, pl.ds(tp * tt, tp + 2)], xsbuf.at[slot],
+            sems.at[slot])
+
+    slot = jax.lax.rem(t, 2)
+
+    @pl.when(t == 0)
+    def _():
+        copy(0, 0).start()
+
+    @pl.when(t + 1 < n_tiles)
+    def _():
+        copy(1 - slot, t + 1).start()
+
+    copy(slot, t).wait()
+
+    # ---- conv1_1: tp+1 c11 row-pairs from tp+2 s2d rows ------------------
+    # MXU accumulates f32 (Mosaic requires a 32-bit acc); rounding to the
+    # compute dtype BEFORE the bias-add reproduces the two-stage XLA packed
+    # conv's arithmetic exactly (conv emits bf16, bias adds in bf16)
+    b1p = b1_ref[0, :].astype(dtype)
+    rp = 0
+    while rp < tp + 1:
+        k = min(_RC, tp + 1 - rp)
+        for j in range(k):
+            pbuf[0:32, (j) * w2p:(j + 1) * w2p] = xsbuf[slot, rp + j]
+            pbuf[32:64, (j) * w2p:(j + 1) * w2p] = xsbuf[slot, rp + j + 1]
+        res = jax.lax.dot_general(
+            pbuf[:, :k * w2p], k1_ref[:], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dtype)
+        res = jnp.maximum(res + b1p, 0.0)
+        for j in range(k):
+            seg = jax.lax.slice_in_dim(res, j * w2p, j * w2p + pairs_p,
+                                       axis=0)
+            vbuf[rp + j, 0] = seg[:, :128]
+            vbuf[rp + j, 1] = seg[:, 128:]
+        rp += k
+
+    # ---- conv1_2 + pool (same tap machinery as _kernel) ------------------
+    b2p = b2_ref[0, :].astype(jnp.float32)
+    v = vbuf[...]
+    rows = [jax.lax.slice_in_dim(v, dh // 2, dh // 2 + tp, axis=0)[:, dh % 2]
+            for dh in range(4)]
+
+    q0 = 0
+    while q0 < q:
+        qc = min(_Q_CHUNK, q - q0)
+        lhs = {}
+        for dh in range(4):
+            for po in range(2):
+                lhs[dh, po] = jax.lax.slice_in_dim(
+                    rows[dh], q0 + po, q0 + po + qc,
+                    axis=1).reshape(tp * qc, 128)
+
+        def col_parity(eo):
+            acc = jnp.zeros((tp * qc, 128), jnp.float32)
+            for dh in range(4):
+                for po in range(2):
+                    acc = acc + jax.lax.dot_general(
+                        lhs[dh, po], k2_ref[eo, dh * 2 + po],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+            return jnp.maximum(acc + b2p, 0.0)
+
+        z = jnp.maximum(col_parity(0), col_parity(1))
+        z = jnp.maximum(z[:, :64], z[:, 64:])
+        out_ref[0, :, q0:q0 + qc, :] = z.reshape(tp, qc, 64).astype(dtype)
+        q0 += qc
+
+
+def fused_block1_full(xp, k1, b1, k2, b2, *, dtype=jnp.bfloat16):
+    """conv1_1 + relu + conv1_2 + relu + pool in ONE Pallas kernel; the
+    packed conv1_1 output never exists in HBM. Forward-only fast path —
+    `block1_op` routes autodiff through the two-stage form.
+
+    xp: (B, Hp, Wp, 3); returns (B, (Hp-4)//2, (Wp-4)//2, 64). Requires
+    fused_block1_full_supported(Hp, Wp).
+    """
+    B, hp, wp, _ = xp.shape
+    ch, cw = hp - 4, wp - 4
+    ph, pw = ch // 2, cw // 2
+    pairs = (cw + 2) // 2
+    pairs_p = -(-(pairs + 4) // 8) * 8
+    w2p = -(-(pairs_p + 1) // 128) * 128
+    plan = _plan_tiles_full(ph, pairs_p, w2p, jnp.dtype(dtype).itemsize)
+    assert plan is not None, (hp, wp)
+    tp, ph_pad = plan
+    # widen exactly like fused_block1: zero-pad region, never read back
+    xp = jnp.pad(xp, ((0, 0), (0, 2 * (ph_pad - ph)),
+                      (0, 2 * (pairs_p - pairs)), (0, 0)))
+    # s2d relayout of the 3-channel input (w2 = pairs_p + 1 after the pad,
+    # so every tile's valid pair count is exactly pairs_p)
+    xs = _s2d_input(xp.astype(dtype))
+    xs = jnp.pad(xs, ((0, 0), (0, 0), (0, 0), (0, w2p - xs.shape[3])))
+
+    q = pairs - 1
+    n_tiles = ph_pad // tp
+    kern = functools.partial(_kernel_full, tp=tp, q=q, pairs_p=pairs_p,
+                             w2p=w2p, n_tiles=n_tiles, dtype=dtype)
+    out = pl.pallas_call(
+        kern,
+        grid=(B, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),      # xs stays in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # k1 s2d (64, 256)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # b1 (1, 256)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # k2 taps (2,8,128,128)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # b2 (1, 128)
+        ],
+        out_specs=pl.BlockSpec((1, tp, q, 64), lambda b, t: (b, t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, ph_pad, q, 64), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, tp + 2, 32, w2p), dtype),
+            pltpu.VMEM((64, _RC * w2p), dtype),
+            pltpu.VMEM((tp + 1, 2, pairs_p, 128), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )(
+        xs,
+        _pack_k1_s2d(k1).astype(dtype),
+        jnp.tile(b1, 4).reshape(1, -1).astype(jnp.float32),
+        _pack_k2_taps(k2).astype(dtype),
+        jnp.concatenate([b2, b2]).reshape(1, -1).astype(jnp.float32),
+    )
     return out[:, :ph, :pw, :]
 
 
@@ -681,11 +880,32 @@ def xla_block1(xp, k1, b1, k2, b2, dtype=jnp.bfloat16):
     return jnp.max(jnp.max(h, axis=4), axis=2)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
 def block1_op(xp, k1, b1, k2, b2, dtype=jnp.bfloat16):
     """Differentiable fused block 1 (kept as the models' entry point).
 
-    Forward = fused_block1; gradients = XLA autodiff through the packed
-    conv1_1 + the Pallas backward kernel through conv1_2/pool
-    (_conv2_pool_bwd) — no full-resolution recompute, no select-and-scatter.
+    Un-differentiated forward (serving/eval) = fused_block1_full, the ONE
+    kernel that never writes the packed conv1_1 output to HBM. Under
+    autodiff the custom_vjp's fwd rule runs the two-stage fused_block1
+    instead — its backward wants the c11p intermediate in HBM anyway — so
+    training keeps the round-3 kernel pair (XLA conv1_1 autodiff + the
+    flash-style _conv2_pool_bwd), bit-for-bit. The two forwards agree to
+    fp32 accumulation order (both MXU, one summation tree per formulation).
     """
+    B, hp, wp, _ = xp.shape
+    if fused_block1_full_supported(hp, wp, dtype=dtype):
+        return fused_block1_full(xp, k1, b1, k2, b2, dtype=dtype)
     return fused_block1(xp, k1, b1, k2, b2, dtype=dtype)
+
+
+def _block1_op_fwd(xp, k1, b1, k2, b2, dtype):
+    out, vjp = jax.vjp(
+        lambda *a: fused_block1(*a, dtype=dtype), xp, k1, b1, k2, b2)
+    return out, vjp
+
+
+def _block1_op_bwd(dtype, vjp, g):
+    return vjp(g)
+
+
+block1_op.defvjp(_block1_op_fwd, _block1_op_bwd)

@@ -122,14 +122,84 @@ def run(n_devices: int, *, channel_scale: float = 0.5,
     return result
 
 
+def compile_full_width(n_devices: int, *, bucket: int = 512,
+                       batch: int = 4) -> dict:
+    """Build the EXACT full-width production train-step HLO on an n-device
+    DP x TP mesh — compile only, no execution.
+
+    Execution at full width is what the 1-core XLA:CPU rendezvous timeout
+    forbids (see run()'s channel_scale note); compilation has no
+    collectives to rendezvous, so the production program (channel_scale
+    1.0, 512² bucket) can still be GSPMD-partitioned and code-generated
+    end-to-end. Abstract shapes throughout — no full-width buffers are
+    ever allocated (params+Adam state would be ~1.6 GB).
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding
+
+    from zeroshotsemanticsegmentation_tpu.models import FCN32s
+    from zeroshotsemanticsegmentation_tpu.parallel.mesh import (
+        batch_pspecs, make_mesh, param_pspecs)
+    from zeroshotsemanticsegmentation_tpu.train import make_fcn_optimizer
+    from zeroshotsemanticsegmentation_tpu.train.state import TrainState
+    from zeroshotsemanticsegmentation_tpu.train.steps import (
+        make_fcn_train_step)
+
+    t0 = time.perf_counter()
+    devices = jax.devices()[:n_devices]
+    model_axis = 2 if n_devices % 2 == 0 and n_devices >= 4 else 1
+    mesh = make_mesh(n_devices // model_axis, model_axis, devices=devices)
+    model = FCN32s(num_classes=20)          # channel_scale 1.0
+    embed = np.random.RandomState(0).randn(21, 20).astype(np.float32)
+
+    pshape = jax.eval_shape(lambda: model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, bucket, bucket, 3)),
+        mode="both"))["params"]
+    pshard = jax.tree_util.tree_map(
+        lambda x, s: jax.ShapeDtypeStruct(
+            x.shape, x.dtype, sharding=NamedSharding(mesh, s)),
+        pshape, param_pspecs(pshape),
+        is_leaf=lambda x: not isinstance(x, dict))
+    tx = make_fcn_optimizer(pshape, optim="adam", lr=1e-5)
+    state_s = TrainState(params=pshard,
+                         opt_state=jax.eval_shape(tx.init, pshard),
+                         step=jax.ShapeDtypeStruct((), jnp.int32))
+    bdict = {"image": np.zeros((batch, bucket, bucket, 3), np.float32),
+             "label": np.zeros((batch, bucket, bucket), np.int32),
+             "sizes": np.zeros((batch, 2), np.int32),
+             "num_real": np.int32(batch)}
+    bspecs = batch_pspecs(bdict, mesh)
+    batch_s = {k: jax.ShapeDtypeStruct(np.shape(v), np.asarray(v).dtype,
+                                       sharding=NamedSharding(mesh, bspecs[k]))
+               for k, v in bdict.items()}
+    step = make_fcn_train_step(model, tx, loss_name="cos", num_classes=21,
+                               embeddings=embed)
+    compiled = jax.jit(step).lower(
+        state_s, batch_s,
+        jax.ShapeDtypeStruct((2,), jnp.uint32)).compile()
+    del compiled
+    out = {"full_width_compile": "ok", "bucket": bucket, "batch": batch,
+           "mesh": dict(mesh.shape),
+           "compile_wall_s": round(time.perf_counter() - t0, 1)}
+    print(f"full-width production HLO compiled on {n_devices} devices: "
+          f"{out}", flush=True)
+    return out
+
+
 def run_all(n_devices: int) -> dict:
     """Driver hook body: the single-slice DP x TP program at 0.5 width, then
     a 2-slice ('slice','data','model') hybrid-mesh step at 0.25 width (small
     enough to stay inside XLA:CPU's in-process collective rendezvous timeout
-    on a 1-core host — see run()'s channel_scale note)."""
+    on a 1-core host — see run()'s channel_scale note), then a compile-only
+    build of the EXACT full-width 512² production step (no execution — the
+    rendezvous timeout binds execution, not GSPMD partitioning/codegen)."""
     result = run(n_devices)
     if n_devices >= 4 and n_devices % 4 == 0:
         result["multislice"] = run(n_devices, slices=2, channel_scale=0.25)
+    result["full_width"] = compile_full_width(n_devices)
     return result
 
 

@@ -36,7 +36,11 @@ if _REPO_ROOT not in sys.path:
 
 BASELINE_MP_S = 50.0
 H = W = 512
-BATCH = 64  # best measured batch on v5e with prune_pad (119.5 MP/s)
+BATCH = 64  # round-4 sweep with fused_block1_full: 122.7/128.5/131.3 MP/s at
+            # B=32/64/128 (B=1 latency 7.2 ms — see README). B=64 stays the
+            # bench batch: +2% at B=128 is not worth a fresh multi-minute
+            # remote compile when the tunnel's compile path degrades (it
+            # took >40 min once, 2026-08-19); this program is warm-cached.
 CHAIN = 8   # model evaluations per dispatch
 
 TRAIN_BATCH = 24  # best measured on v5e with prune_pad (117.6 img/s)

@@ -272,12 +272,16 @@ def run_lockstep(scale: float, size: int, steps: int) -> dict:
     step2 = make_seenmask_train_step(model, tx2, seen_vec=jnp.asarray(seen))
     state2 = TrainState(params=state.params, opt_state=tx2.init(state.params),
                         step=jnp.zeros((), jnp.int32))
+    # reference stage 2 trains the head AND the seenmask upscore
+    # (train.py:168-171,304-307)
+    from torch_oracle import torch_stage2_optimizer
     for p in tmodel.parameters():
         p.requires_grad = False
     head = tmodel.convs["seenmask_score"]
     head.weight.requires_grad = True
     head.bias.requires_grad = True
-    topt2 = torch.optim.Adam([head.weight, head.bias], lr=1e-3)
+    tmodel.up_seenmask_score.requires_grad = True
+    topt2 = torch_stage2_optimizer(tmodel, 1e-3)
 
     t0 = time.time()
     max_loss_rel2 = 0.0

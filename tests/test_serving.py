@@ -33,6 +33,34 @@ def test_predictor_matches_reference_pipeline(rng):
     assert (got != want).mean() < 1e-4  # fp argmax tie flips only
 
 
+def test_predictor_trained_upscore_exact(rng):
+    """A stage-2-trained (non-bilinear) seenmask_upscore routes the gate
+    through the model's own ConvTranspose — predictor == the reference
+    unfused pipeline on the SAME trained params (the fused kernel's
+    bilinear-gate shortcut must not silently engage)."""
+    model, params, embed = build(rng)
+    params = jax.tree.map(np.asarray, params)  # host leaves: checkable
+    up = params["seenmask_upscore"]["kernel"]
+    params["seenmask_upscore"]["kernel"] = (
+        up + rng.randn(*up.shape).astype(np.float32))  # strong drift
+    unseen = [2, 5]
+    predict = make_szn_predictor(model, params, embed, unseen)
+    imgs = rng.randn(2, 64, 64, 3).astype(np.float32) * 40
+    got = np.asarray(predict(jnp.asarray(imgs)))
+    f, s = model.apply({"params": params}, jnp.asarray(imgs), mode="both")
+    want = np.asarray(infer_labels_szn(
+        f, s, jnp.asarray(embed), jnp.asarray(unseen_mask_vector(9, unseen))))
+    assert (got != want).mean() < 1e-4
+    # and the perturbation must actually flip some gate pixels vs bilinear
+    params2 = dict(params)
+    params2["seenmask_upscore"] = {"kernel": up}
+    f2, s2 = model.apply({"params": params2}, jnp.asarray(imgs), mode="both")
+    bl = np.asarray(infer_labels_szn(
+        f2, s2, jnp.asarray(embed),
+        jnp.asarray(unseen_mask_vector(9, unseen))))
+    assert (bl != want).any(), "perturbed upscore changed nothing — dead test"
+
+
 def test_predictor_accepts_uint8(rng):
     """Compact-feed serving: uint8 RGB in == host-transformed float32 in."""
     model, params, embed = build(rng)

@@ -41,7 +41,7 @@ N_CLASS = 21
 from torch_oracle import (  # noqa: E402 — tests dir module
     TorchFCN, np_hist, torch_cosine_loss, torch_cross_entropy2d,
     torch_infer_lbl, torch_infer_lbl_szn, torch_stage1_optimizer,
-    np_label_accuracy_score)
+    torch_stage2_optimizer, np_label_accuracy_score)
 
 # --------------------------------------------------------------------------
 # shared fixtures
@@ -69,6 +69,12 @@ def torch_deltas(model, init_params):
         out[name] = {"kernel": k1 - k0,
                      "bias": conv.bias.detach().numpy()
                      - np.asarray(init_params[name]["bias"])}
+    # the trainable seenmask upscore (kernel only, no bias) — frozen in
+    # stage 1, Adam-trained in stage 2 (reference train.py:304-307,324-327)
+    out["seenmask_upscore"] = {
+        "kernel": model.up_seenmask_score.detach().numpy()
+        .transpose(2, 3, 0, 1)
+        - np.asarray(init_params["seenmask_upscore"]["kernel"])}
     return out
 
 
@@ -79,7 +85,7 @@ def assert_tree_delta_close(jax_deltas, torch_deltas_, rtol=2e-3,
     with near-zero second moments, so demand (1 - max_outlier_frac) of
     elements within tolerance rather than all of them."""
     for name in jax_deltas:
-        for leaf in ("kernel", "bias"):
+        for leaf in jax_deltas[name]:  # upscore has no bias
             a = np.asarray(jax_deltas[name][leaf])
             b = torch_deltas_[name][leaf]
             scale = max(np.max(np.abs(b)), 1e-12)
@@ -202,8 +208,9 @@ def test_train_lockstep_with_torch_oracle(optim, loss_name, lr):
 
 
 def test_seenmask_stage_lockstep_with_torch_oracle():
-    """Stage-2: Adam on the seenmask head only, size-averaged binary CE
-    (trainer_seenmask.py:50-102, train.py:302-307)."""
+    """Stage-2: Adam on the seenmask head AND the seenmask upscore, size-
+    averaged binary CE (trainer_seenmask.py:50-102, train.py:168-171,
+    302-307 — the upscore is genuinely optimized in the reference)."""
     n_steps = 3
     rng = np.random.RandomState(7)
     train_unseen = (1, 13)
@@ -223,13 +230,15 @@ def test_seenmask_stage_lockstep_with_torch_oracle():
         jax_losses.append(float(aux["loss"]))
 
     tmodel = TorchFCN(init_params)
-    # reference freezes everything but the head (train.py:166-171)
+    # reference freezes everything but the head + its upscore
+    # (train.py:166-171)
     for p in tmodel.parameters():
         p.requires_grad = False
     head = tmodel.convs["seenmask_score"]
     head.weight.requires_grad = True
     head.bias.requires_grad = True
-    topt = torch.optim.Adam([head.weight, head.bias], lr=lr)
+    tmodel.up_seenmask_score.requires_grad = True
+    topt = torch_stage2_optimizer(tmodel, lr)
     torch_losses = []
     for img, lbl in batches:
         x = torch.from_numpy(img.transpose(0, 3, 1, 2).copy())
@@ -251,6 +260,15 @@ def test_seenmask_stage_lockstep_with_torch_oracle():
                - init_params["seenmask_score"]["kernel"])
     np.testing.assert_allclose(d_jax, d_torch, rtol=2e-3,
                                atol=2e-3 * np.max(np.abs(d_torch)))
+    # the seenmask upscore MOVED, and moved identically (reference
+    # train.py:304-307: it is in the stage-2 Adam group)
+    up0 = init_params["seenmask_upscore"]["kernel"]
+    d_up_jax = (np.asarray(state.params["seenmask_upscore"]["kernel"]) - up0)
+    d_up_torch = (tmodel.up_seenmask_score.detach().numpy()
+                  .transpose(2, 3, 0, 1) - up0)
+    assert np.abs(d_up_jax).max() > 0, "stage 2 must train the upscore"
+    np.testing.assert_allclose(d_up_jax, d_up_torch, rtol=2e-3,
+                               atol=2e-3 * np.max(np.abs(d_up_torch)))
     for name in ("conv1_1", "fc7", "score_fr"):
         np.testing.assert_array_equal(
             np.asarray(state.params[name]["kernel"]),

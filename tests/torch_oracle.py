@@ -28,6 +28,8 @@ class TorchFCN(torch.nn.Module):
         super().__init__()
         self.convs = torch.nn.ModuleDict()
         for name, leaves in flax_params.items():
+            if name == "seenmask_upscore":
+                continue  # handled below (ConvTranspose weight, no bias)
             k = np.asarray(leaves["kernel"])  # HWIO
             kh, kw, cin, cout = k.shape
             pad = 100 if name == "conv1_1" else (
@@ -38,11 +40,22 @@ class TorchFCN(torch.nn.Module):
             conv.bias.data = torch.from_numpy(
                 np.asarray(leaves["bias"]).copy())
             self.convs[name] = conv
-        for head in ("score_fr", "seenmask_score"):
-            c = self.convs[head].out_channels
-            up = bilinear_upsampling_kernel(c, 64, np.float32)  # HWIO
-            self.register_buffer(f"up_{head}", torch.from_numpy(
-                up.transpose(2, 3, 0, 1).copy()))  # IOHW
+        # FCN upscore: fixed bilinear buffer (never optimized,
+        # train.py:324-327). Seenmask upscore: a trainable PARAMETER — the
+        # reference's stage-2 Adam updates it (train.py:168-171,304-307) —
+        # initialized from the flax tree when present (torch-equivalent
+        # layout: W_iohw = kernel_hwio.transpose(2, 3, 0, 1)).
+        c = self.convs["score_fr"].out_channels
+        up = bilinear_upsampling_kernel(c, 64, np.float32)  # HWIO
+        self.register_buffer("up_score_fr", torch.from_numpy(
+            up.transpose(2, 3, 0, 1).copy()))  # IOHW
+        if "seenmask_upscore" in flax_params:
+            k = np.asarray(flax_params["seenmask_upscore"]["kernel"],
+                           np.float32)
+        else:
+            k = bilinear_upsampling_kernel(2, 64, np.float32)
+        self.up_seenmask_score = torch.nn.Parameter(
+            torch.from_numpy(k.transpose(2, 3, 0, 1).copy()))
 
     def forward(self, x, mode="fcn"):
         hh, ww = x.shape[2], x.shape[3]
@@ -121,6 +134,14 @@ def torch_infer_lbl_szn(fcn_score, seenmask_score, embeddings, unseen_vec):
     unseen_mask = gate == 0
     pred[unseen_mask] = pred_unseen[unseen_mask]
     return pred
+
+
+def torch_stage2_optimizer(model, lr):
+    """train.py:174-175,302-307: Adam over the seenmask head's weight+bias
+    AND the seenmask upscore ConvTranspose weight, in that yield order."""
+    head = model.convs["seenmask_score"]
+    return torch.optim.Adam(
+        [head.weight, head.bias, model.up_seenmask_score], lr=lr)
 
 
 def torch_stage1_optimizer(model, optim, lr):

@@ -9,11 +9,17 @@ parallel 2-channel `seenmask_score` head.
 TPU-first deviations from the reference design (behavior-preserving):
 
 * NHWC layout and bfloat16-capable compute dtype (params stay fp32).
-* The ×32 bilinear upscore ConvTranspose2d — whose weights the reference
-  never optimizes (train.py:324-327) — is a *fixed function* here, computed as
-  two small dense matmuls (`ops.bilinear`), numerically equal to the
-  reference's transposed conv + `[:, :, 19:19+H, 19:19+W]` crop
-  (models.py:93-98,145-151).
+* The ×32 FCN upscore ConvTranspose2d — whose weights the reference never
+  optimizes (train.py:324-327) — is a *fixed function* here, computed as a
+  separable tap blend (`ops.bilinear`), numerically equal to the reference's
+  transposed conv + `[:, :, 19:19+H, 19:19+W]` crop (models.py:93-98,
+  145-151). The SEENMASK upscore, however, is a real trainable parameter
+  (`seenmask_upscore`, torch-equivalent HWIO layout): the reference's
+  stage-2 optimizer updates it (train.py:168-171 requires_grad, 304-307
+  yields it to Adam), so stage-2 checkpoints genuinely drift from bilinear.
+  Its forward is the exact ConvTranspose semantic
+  (ops.bilinear.upscore_conv_transpose_cropped), bit-compatible with the
+  fixed path at the bilinear init.
 * Heads are only computed for the requested `mode` ∈ {fcn, seenmask, both};
   the reference computes both unconditionally and discards one
   (models.py:145-158). Under jit XLA would DCE the dead head anyway; being
@@ -31,7 +37,9 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from zeroshotsemanticsegmentation_tpu.ops.bilinear import upsample_bilinear_cropped
+from zeroshotsemanticsegmentation_tpu.ops.bilinear import (
+    bilinear_upsampling_kernel, upsample_bilinear_cropped,
+    upscore_conv_transpose_cropped)
 from zeroshotsemanticsegmentation_tpu.ops.conv1x1 import conv1x1_mmwgrad
 from zeroshotsemanticsegmentation_tpu.ops.conv7x7 import conv_valid_mmgrad
 from zeroshotsemanticsegmentation_tpu.models.pruned import (
@@ -162,6 +170,23 @@ def _max_pool_ceil(x: jnp.ndarray) -> jnp.ndarray:
                                 (0, (-x.shape[2]) % 2)))
 
 
+class _SeenmaskUpscore(nn.Module):
+    """Holder for the trainable seenmask ConvTranspose kernel
+    (reference models.py:98 + train.py:168-171,304-307). (64, 64, 2, 2)
+    HWIO, torch-equivalent orientation (W_torch[i,o,h,w] == kernel[h,w,i,o]),
+    bilinear-diagonal init (models.py:102-112)."""
+
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "kernel",
+            lambda rng: jnp.asarray(
+                bilinear_upsampling_kernel(2, _UPSAMPLE_KERNEL),
+                self.param_dtype))
+
+
 class FCN32s(nn.Module):
     """VGG16-layout fully-convolutional net with embedding + seenmask heads.
 
@@ -233,6 +258,13 @@ class FCN32s(nn.Module):
         # and XLA dead-code-eliminates an unused score conv under jit.
         f_small = conv1x1(self, h, "score_fr", self.num_classes)
         s_small = conv1x1(self, h, "seenmask_score", 2)
+        # trainable seenmask upscore (reference train.py:168-171,304-307 —
+        # stage 2 optimizes it); torch-equivalent HWIO layout, bilinear init.
+        # Created in every mode so the param tree is mode-independent; XLA
+        # DCEs it when unused. A child module keeps the tree uniform
+        # ({"seenmask_upscore": {"kernel": ...}}).
+        up_k = _SeenmaskUpscore(name="seenmask_upscore",
+                                param_dtype=self.param_dtype)()
         if mode == "raw":
             return f_small, s_small
 
@@ -242,11 +274,17 @@ class FCN32s(nn.Module):
                 kernel_size=_UPSAMPLE_KERNEL, crop_offset=_CROP_OFFSET,
                 out_h=in_h, out_w=in_w)
 
+        def up_seen(s):
+            return upscore_conv_transpose_cropped(
+                s.astype(jnp.float32), up_k.astype(jnp.float32),
+                stride=_UPSAMPLE_STRIDE, crop_offset=_CROP_OFFSET,
+                out_h=in_h, out_w=in_w)
+
         if mode == "fcn":
             return up(f_small)
         if mode == "seenmask":
-            return up(s_small)
-        return up(f_small), up(s_small)
+            return up_seen(s_small)
+        return up(f_small), up_seen(s_small)
 
 
 def min_input_size() -> int:

@@ -11,13 +11,17 @@ target configs). Architecture:
     bilinear → crop(31) to input size
 
 All bilinear upsamples are fixed interpolation matrices (matmul form, like
-FCN-32s' upscore — the reference never trains transposed-conv weights,
-train.py:324-327). Skip scores are zero-initialized so a fresh FCN-8s starts
-exactly equal to FCN-32s' prediction path (standard FCN surgery practice).
+FCN-32s' FCN upscore — the reference never trains its stage-1
+transposed-conv weights, train.py:324-327). Skip scores are zero-initialized
+so a fresh FCN-8s starts exactly equal to FCN-32s' prediction path (standard
+FCN surgery practice).
 
-The 2-channel seenmask head keeps the coarse ×32 path — the binary
-seen/unseen gate does not benefit from edge-accurate upsampling and this
-keeps stage-2 training identical across architectures.
+The 2-channel seenmask head keeps the coarse ×32 path with a FIXED upsample
+— the binary seen/unseen gate does not benefit from edge-accurate
+upsampling. Note this is a deliberate simplification of this extension
+architecture only: the reference's FCN-32s (and our FCN32s) additionally
+train `seenmask_upscore` in stage 2 (train.py:304-307); FCN-8s is not part
+of the reference, so no parity constraint applies.
 """
 
 from __future__ import annotations

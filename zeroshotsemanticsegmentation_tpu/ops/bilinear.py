@@ -173,3 +173,34 @@ def upsample_bilinear_cropped(x: jnp.ndarray, *, stride: int, kernel_size: int,
                        crop_offset=crop_offset, out_len=out_h)
     return _axis_upsample(y, 2, stride=stride, kernel_size=kernel_size,
                           crop_offset=crop_offset, out_len=out_w)
+
+
+def upscore_conv_transpose_cropped(x: jnp.ndarray, kernel: jnp.ndarray, *,
+                                   stride: int, crop_offset: int,
+                                   out_h: int, out_w: int) -> jnp.ndarray:
+    """General TRAINED-upscore upsample: transposed conv with an arbitrary
+    (K, K, Cin, Cout) kernel + the reference crop.
+
+    The reference's stage-2 optimizer updates `seenmask_upscore` away from
+    its bilinear init (train.py:168-171 sets requires_grad, 304-307 yields
+    it to Adam) — only the FCN upscore stays a fixed function (324-327).
+    This is the exact ConvTranspose2d semantic (zero padding, full output
+    (in-1)*stride + K) for that trained kernel, realized as lhs-dilated
+    conv. Equal to `upsample_bilinear_cropped` when `kernel` equals
+    `bilinear_upsampling_kernel` (tested). Differentiable in both x and
+    kernel; with Cin=Cout=2 the whole op is a rounding error of the step's
+    FLOPs.
+    """
+    kh, kw = kernel.shape[0], kernel.shape[1]
+    # ConvTranspose = correlation of the s-dilated input with the kernel
+    # spatially FLIPPED (invisible for the symmetric bilinear init, load-
+    # bearing for a trained kernel — validated against torch
+    # F.conv_transpose2d in tests)
+    y = jax.lax.conv_general_dilated(
+        x, kernel[::-1, ::-1], window_strides=(1, 1),
+        padding=((kh - 1, kh - 1), (kw - 1, kw - 1)),
+        lhs_dilation=(stride, stride),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST)
+    return y[:, crop_offset:crop_offset + out_h,
+             crop_offset:crop_offset + out_w, :]

@@ -55,6 +55,23 @@ def make_szn_predictor(model, params, embeddings, unseen_classes,
     # 1/32-res heads before the kernel
     kernel_mesh = mesh if (mesh is not None and not spatial) else None
 
+    # The fused kernel upsamples the seenmask GATE with fixed bilinear taps
+    # — exact only while `seenmask_upscore` equals its bilinear init. The
+    # reference's stage 2 TRAINS that kernel (train.py:304-307), so
+    # stage-2-trained checkpoints route the gate through the model's own
+    # trained ConvTranspose at full res (a (B,H,W,2) side computation; the
+    # class projection/upsample/argmax stays in the Pallas kernel). Host
+    # numpy params are checked directly; device params are assumed pristine
+    # (fresh init) — reading them back would trip the H2D collapse
+    # (CLAUDE.md).
+    up = params.get("seenmask_upscore", {}).get("kernel")
+    pristine_upscore = True
+    if isinstance(up, np.ndarray):
+        from zeroshotsemanticsegmentation_tpu.ops.bilinear import (
+            bilinear_upsampling_kernel)
+        pristine_upscore = bool(np.array_equal(
+            up, bilinear_upsampling_kernel(up.shape[2], up.shape[0])))
+
     # params/embed stay jit *arguments* (closing over them would inline the
     # full weight tree into the HLO as constants)
     @jax.jit
@@ -69,9 +86,27 @@ def make_szn_predictor(model, params, embeddings, unseen_classes,
         else:
             f_raw, s_raw = model.apply({"params": params}, images,
                                        mode="raw")
-        return infer_labels_szn_fused(
-            f_raw, s_raw, embed, unseen_vec,
-            (images.shape[1], images.shape[2]), mesh=kernel_mesh)
+        out_hw = (images.shape[1], images.shape[2])
+        if pristine_upscore:
+            return infer_labels_szn_fused(f_raw, s_raw, embed, unseen_vec,
+                                          out_hw, mesh=kernel_mesh)
+        # trained upscore: exact gate at full res through the model's own
+        # ConvTranspose kernel; classes still take the fused kernel (the
+        # always-seen / always-unseen calls restrict the argmax partition)
+        from zeroshotsemanticsegmentation_tpu.ops.bilinear import (
+            upscore_conv_transpose_cropped)
+        gate = upscore_conv_transpose_cropped(
+            s_raw.astype(jnp.float32),
+            params["seenmask_upscore"]["kernel"].astype(jnp.float32),
+            stride=32, crop_offset=19, out_h=out_hw[0], out_w=out_hw[1])
+        pixel_unseen = jnp.argmax(gate, axis=-1) == 0
+        seen_lbl = infer_labels_szn_fused(
+            f_raw, jnp.zeros_like(s_raw).at[..., 1].set(1.0), embed,
+            unseen_vec, out_hw, mesh=kernel_mesh)
+        unseen_lbl = infer_labels_szn_fused(
+            f_raw, jnp.zeros_like(s_raw).at[..., 0].set(1.0), embed,
+            unseen_vec, out_hw, mesh=kernel_mesh)
+        return jnp.where(pixel_unseen, unseen_lbl, seen_lbl)
 
     def predict(images):
         return _predict(params, embed, unseen_vec, images)

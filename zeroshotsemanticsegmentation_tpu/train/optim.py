@@ -35,11 +35,16 @@ def _label_tree(params, stage: str):
         module = path[0].key
         leaf = path[-1].key
         if stage == "seenmask":
-            put(path, "seenmask" if module == "seenmask_score" else "frozen")
-        elif module == "seenmask_score":
+            # stage-2 Adam gets the head AND the seenmask upscore kernel
+            # (reference train.py:168-171 requires_grad, 304-307 yields both)
+            put(path, "seenmask" if module in ("seenmask_score",
+                                               "seenmask_upscore")
+                else "frozen")
+        elif module in ("seenmask_score", "seenmask_upscore"):
             # reference get_parameters skips the seenmask head in stage 1
-            # (train.py:316-318): without this, SGD's weight-decay term would
-            # move seenmask_score despite its zero gradient
+            # (train.py:316-318) and every ConvTranspose weight (324-327):
+            # without this, SGD's weight-decay term would move them despite
+            # their zero gradients
             put(path, "frozen")
         else:
             put(path, "bias" if leaf == "bias" else "weight")
@@ -69,7 +74,8 @@ def make_fcn_optimizer(params, *, optim: str, lr: float,
 
 
 def make_seenmask_optimizer(params, *, lr: float) -> optax.GradientTransformation:
-    """Stage-2 optimizer: Adam on the seenmask head only (train.py:174-175)."""
+    """Stage-2 optimizer: Adam on the seenmask head + seenmask upscore
+    (train.py:174-175, 304-307)."""
     transforms = {
         "seenmask": optax.adam(lr),
         "frozen": optax.set_to_zero(),

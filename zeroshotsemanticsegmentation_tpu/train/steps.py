@@ -402,25 +402,28 @@ def _seenmask_target(label, sizes, seen_vec):
 def make_seenmask_train_step(model, tx, *, seen_vec):
     """Stage-2 train step: CE on the 2-channel head, backbone frozen by tx.
 
-    The reference freezes everything but the seenmask head in stage 2
-    (train.py:166-171,316-318), so its backward stops at the head. Mirror
-    that structurally: differentiate only w.r.t. `seenmask_score` — the
-    backbone backward (2/3 of a full step) is never built. Frozen params
-    get zero gradients, which the masked optimizer ignores anyway.
+    The reference freezes everything but the seenmask head AND its upscore
+    in stage 2 (train.py:166-171 sets requires_grad on both, 304-307 yields
+    both to Adam; everything else 316-318), so its backward stops at the
+    head. Mirror that structurally: differentiate only w.r.t.
+    `seenmask_score` + `seenmask_upscore` — the backbone backward (2/3 of a
+    full step) is never built. Frozen params get zero gradients, which the
+    masked optimizer ignores anyway.
     """
     seen_vec = _host_const(seen_vec)
-    _HEAD = "seenmask_score"
+    _TRAINED = ("seenmask_score", "seenmask_upscore")
 
     @jax.jit
     def train_step(state, batch, dropout_key):
         key = jax.random.fold_in(dropout_key, state.step)
         images, labels = _prepare_batch(batch)
         target = _seenmask_target(labels, batch["sizes"], seen_vec)
-        frozen = {k: v for k, v in state.params.items() if k != _HEAD}
+        frozen = {k: v for k, v in state.params.items()
+                  if k not in _TRAINED}
 
-        def loss_fn(head_params):
+        def loss_fn(trained_params):
             params = dict(frozen)
-            params[_HEAD] = head_params
+            params.update(trained_params)
             score = model.apply({"params": params}, images,
                                 train=True, mode="seenmask",
                                 rngs={"dropout": key})
@@ -430,10 +433,11 @@ def make_seenmask_train_step(model, tx, *, seen_vec):
             loss = jnp.sum(losses) / jnp.maximum(batch["num_real"], 1)
             return loss, score
 
-        (loss, score), head_grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params[_HEAD])
+        (loss, score), trained_grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(
+            {k: state.params[k] for k in _TRAINED})
         grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
-        grads[_HEAD] = head_grads
+        grads.update(trained_grads)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = jax.tree_util.tree_map(lambda p, u: p + u,
                                         state.params, updates)

@@ -57,6 +57,24 @@ def _to_device(batch: dict) -> dict:
     }
 
 
+def _upscore_pristine(params) -> bool:
+    """True when `seenmask_upscore` provably still equals its bilinear init.
+
+    Only HOST leaves are inspected (a checkpoint restored by orbax): a
+    device leaf means the param came from fresh init — pristine by
+    construction — and reading it back would trip this platform's H2D
+    collapse (CLAUDE.md). Stage 1 freezes the upscore, so only resumed
+    STAGE-2 checkpoints can be non-pristine.
+    """
+    leaf = params.get("seenmask_upscore", {}).get("kernel")
+    if leaf is None or not isinstance(leaf, np.ndarray):
+        return True
+    from zeroshotsemanticsegmentation_tpu.ops.bilinear import (
+        bilinear_upsampling_kernel)
+    ref = bilinear_upsampling_kernel(leaf.shape[2], leaf.shape[0])
+    return leaf.shape == ref.shape and bool(np.array_equal(leaf, ref))
+
+
 def echo_feed(loader, put, *, depth: int = 2, min_pool: int = 3):
     """Device-resident batch pool with asynchronous refresh (data echoing).
 
@@ -234,6 +252,11 @@ class FCNTrainer:
                 else np.asarray(target_embeddings, np.float32))
         self.embeddings = emb
 
+        # checked BEFORE any device placement: restored checkpoint leaves are
+        # host numpy (orbax), fresh-init leaves are device arrays that are
+        # pristine by construction — either way no device->host readback
+        self._pristine_upscore = _upscore_pristine(params)
+
         if mesh is not None:
             from zeroshotsemanticsegmentation_tpu.parallel import (
                 shard_params)
@@ -262,11 +285,19 @@ class FCNTrainer:
                                and jax.default_backend() == "tpu")
         self._eval_step = make_fcn_eval_step(model, val_unseen_vec=val_unseen_vec,
                                              fused=fused, mesh=mesh, **kw)
+        # the fused SZN kernel upsamples the seenmask gate with the FIXED
+        # bilinear taps; that is exact only while `seenmask_upscore` still
+        # equals its bilinear init (true for fresh inits and stage-1-only
+        # checkpoints — stage 1 freezes it; the reference's stage 2 TRAINS
+        # it, train.py:304-307). Restored params arrive as host numpy, so
+        # this check is free of device readbacks; fresh-init device params
+        # are pristine by construction.
+        szn_fused = fused and self._pristine_upscore
         if self.zeroshot and emb is not None:
             self._szn_eval_step = make_szn_eval_step(
                 model, loss_name=cfg.fcn_loss, num_classes=n, embeddings=emb,
                 target_embeddings=temb, all_unseen_vec=all_unseen_vec,
-                val_unseen_vec=val_unseen_vec, fused=fused, mesh=mesh)
+                val_unseen_vec=val_unseen_vec, fused=szn_fused, mesh=mesh)
         else:
             self._szn_eval_step = None
         self._dropout_key = jax.random.PRNGKey(cfg.seed)

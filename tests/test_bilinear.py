@@ -120,3 +120,86 @@ def test_matches_interp_matrix_bitexact(rng, h, w, c, stride, ksize, crop,
     (dx,) = jax.vjp(up, jnp.asarray(x))[1](jnp.asarray(g))
     want_dx = np.einsum("Hh,Ww,bHWc->bhwc", mh, mw, g.astype(np.float64))
     np.testing.assert_allclose(np.asarray(dx), want_dx, rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------- trained
+# upscore: arbitrary-kernel transposed conv (stage 2 trains seenmask_upscore,
+# reference train.py:168-171,304-307)
+
+from zeroshotsemanticsegmentation_tpu.ops.bilinear import (  # noqa: E402
+    upscore_conv_transpose_cropped)
+
+
+@pytest.mark.parametrize("h,w,cin,cout,stride,ksize,crop", [
+    (5, 7, 2, 2, 32, 64, 19),   # reference seenmask geometry (K = 2s path)
+    (4, 4, 3, 2, 2, 4, 1),      # K = 2s, tiny
+    (3, 3, 1, 1, 32, 64, 19),   # edge-dominated, K = 2s
+    (4, 5, 2, 3, 4, 6, 2),      # K != 2s -> lhs-dilated-conv fallback
+])
+def test_trained_upscore_matches_oracle(rng, h, w, cin, cout, stride, ksize,
+                                        crop):
+    """Random (asymmetric, cross-channel) kernel vs the fp64 numpy
+    transposed-conv oracle — covers the phase-matmul fast path (K = 2·s)
+    and the general fallback, values and both VJPs."""
+    import jax
+
+    x = rng.randn(2, h, w, cin).astype(np.float32)
+    kernel = rng.randn(ksize, ksize, cin, cout).astype(np.float32)
+    full = conv_transpose_oracle(x.astype(np.float64),
+                                 kernel.astype(np.float64), stride)
+    out_h = (h - 1) * stride + ksize - 2 * crop
+    out_w = (w - 1) * stride + ksize - 2 * crop
+    want = full[:, crop:crop + out_h, crop:crop + out_w, :]
+
+    def op(x, k):
+        return upscore_conv_transpose_cropped(
+            x, k, stride=stride, crop_offset=crop, out_h=out_h, out_w=out_w)
+
+    got = np.asarray(op(jnp.asarray(x), jnp.asarray(kernel)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    # VJPs w.r.t. BOTH x and kernel against the fp64 linear-map transpose:
+    # d<g,y>/dx[u] = sum_p g[p]·K[p−su] — evaluated by running the oracle
+    # machinery in reverse via numeric contraction with the full map.
+    g = rng.randn(*want.shape).astype(np.float32)
+    out, vjp = jax.vjp(op, jnp.asarray(x), jnp.asarray(kernel))
+    dx, dk = vjp(jnp.asarray(g))
+
+    # numeric oracle for dx: correlate g (padded back to full) with K
+    gfull = np.zeros(full.shape, np.float64)
+    gfull[:, crop:crop + out_h, crop:crop + out_w, :] = g
+    want_dx = np.zeros(x.shape, np.float64)
+    want_dk = np.zeros(kernel.shape, np.float64)
+    for i in range(h):
+        for j in range(w):
+            win = gfull[:, i * stride:i * stride + ksize,
+                        j * stride:j * stride + ksize, :]
+            want_dx[:, i, j, :] = np.einsum(
+                "bhwd,hwcd->bc", win, kernel.astype(np.float64))
+            want_dk += np.einsum("bc,bhwd->hwcd",
+                                 x[:, i, j, :].astype(np.float64), win)
+    np.testing.assert_allclose(np.asarray(dx), want_dx, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dk), want_dk, rtol=1e-4, atol=1e-4)
+
+
+def test_trained_upscore_dot_free_twin(rng):
+    """The phase fast path is policy-coherent: dot-free and MXU lowerings
+    agree (proj_rows twins are exact at fp32 up to summation order)."""
+    from zeroshotsemanticsegmentation_tpu.ops.dotpolicy import set_dot_free
+
+    x = rng.randn(2, 5, 5, 2).astype(np.float32)
+    kernel = rng.randn(64, 64, 2, 2).astype(np.float32)
+
+    def run():
+        return np.asarray(upscore_conv_transpose_cropped(
+            jnp.asarray(x), jnp.asarray(kernel), stride=32, crop_offset=19,
+            out_h=128, out_w=128))
+
+    try:
+        set_dot_free(False)
+        mxu = run()
+        set_dot_free(True)
+        free = run()
+    finally:
+        set_dot_free(None)
+    np.testing.assert_allclose(mxu, free, rtol=1e-5, atol=1e-5)

@@ -27,9 +27,12 @@ see CLAUDE.md and scripts/probe_h2d.py). Numerically bit-identical to the
 interpolation-matrix einsum at fp32: the matmul's extra terms are exact
 zeros, and adding 0.0 never rounds.
 
-A general transposed-conv path (`bilinear_upsampling_kernel` +
-`jax.lax.conv_general_dilated` with lhs_dilation) is kept for tests and for a
-hypothetical trainable-upscore variant.
+`upscore_conv_transpose_cropped` handles the TRAINED upscore (the reference's
+stage 2 optimizes `seenmask_upscore`, train.py:304-307): an arbitrary dense
+(K, K, Cin, Cout) kernel, realized for K = 2·stride as one phase matmul +
+depth-to-space (`_phase_conv_transpose_cropped` — the naive lhs-dilated conv
+lowers at ~2/128 MXU lanes for Cin=Cout=2 and measured 343 ms per B=24
+stage-2 step on v5e; the phase form measures ~1 ms in the same step).
 """
 
 from __future__ import annotations
@@ -175,6 +178,58 @@ def upsample_bilinear_cropped(x: jnp.ndarray, *, stride: int, kernel_size: int,
                           crop_offset=crop_offset, out_len=out_w)
 
 
+def _phase_conv_transpose_cropped(x: jnp.ndarray, kernel: jnp.ndarray, *,
+                                  stride: int, crop_offset: int,
+                                  out_h: int, out_w: int) -> jnp.ndarray:
+    """Exact K=2·stride ConvTranspose + crop as ONE phase matmul.
+
+    With K = 2s each output pixel receives exactly 2×2 input taps:
+
+        y[s·m+i, s·n+j, co] = Σ_{a,b∈{0,1}} Σ_ci x[m−a, n−b, ci]
+                                            · K[i+s·a, j+s·b, ci, co]
+
+    so the whole op is (4 shifted copies of x) @ (4·Cin, s²·Cout) kernel
+    matrix, then depth-to-space. Same arithmetic terms per output pixel as
+    the transposed conv (order within the 4·Cin-term fp32 sum may differ),
+    but MXU/fusion-shaped: the naive lhs-dilated-conv lowering runs the
+    64×64 kernel over the ×32-dilated input at Cin=Cout=2 — ~2/128 MXU
+    lanes — and measured 343 ms per B=24 stage-2 step on v5e where this
+    form measures ~1 ms (the stage-2 step's other ~22 ms is the backbone
+    forward). Only the cropped block range is computed. Contraction goes
+    through dotless.proj_rows, so the dot-free policy (axon tunnel) holds.
+    """
+    B, h, w, cin = x.shape
+    s = stride
+    cout = kernel.shape[-1]
+    full_h, full_w = (h - 1) * s + 2 * s, (w - 1) * s + 2 * s
+    if crop_offset + out_h > full_h or crop_offset + out_w > full_w:
+        raise ValueError(
+            f"crop [{crop_offset}:+{out_h}x{out_w}] exceeds transposed-conv "
+            f"output {full_h}x{full_w} (in {h}x{w}, stride {s}, K {2 * s})")
+    from zeroshotsemanticsegmentation_tpu.ops.dotless import proj_rows
+    # block (phase-group) range actually needed by the crop
+    mlo_h, mhi_h = crop_offset // s, (crop_offset + out_h - 1) // s
+    mlo_w, mhi_w = crop_offset // s, (crop_offset + out_w - 1) // s
+    nbh, nbw = mhi_h - mlo_h + 1, mhi_w - mlo_w + 1
+    xp = jnp.pad(x.astype(jnp.float32), ((0, 0), (1, 1), (1, 1), (0, 0)))
+    # block m reads x[m−a] = xp[m+1−a]; channel order (a, b, ci) must match
+    # the kernel-matrix flattening below
+    xs = jnp.concatenate([
+        xp[:, mlo_h + 1:mhi_h + 2, mlo_w + 1:mhi_w + 2],   # (a,b)=(0,0)
+        xp[:, mlo_h + 1:mhi_h + 2, mlo_w:mhi_w + 1],       # (0,1)
+        xp[:, mlo_h:mhi_h + 1, mlo_w + 1:mhi_w + 2],       # (1,0)
+        xp[:, mlo_h:mhi_h + 1, mlo_w:mhi_w + 1],           # (1,1)
+    ], axis=-1)                                            # (B,nbh,nbw,4cin)
+    # W[(a,b,ci), (i,j,co)] = K[i+s·a, j+s·b, ci, co]
+    wmat = kernel.astype(jnp.float32).reshape(2, s, 2, s, cin, cout)
+    wmat = wmat.transpose(0, 2, 4, 1, 3, 5).reshape(4 * cin, s * s * cout)
+    y = proj_rows(xs, wmat.T)                              # (B,nbh,nbw,s²·co)
+    y = y.reshape(B, nbh, nbw, s, s, cout)
+    y = y.transpose(0, 1, 3, 2, 4, 5).reshape(B, nbh * s, nbw * s, cout)
+    oh, ow = crop_offset - s * mlo_h, crop_offset - s * mlo_w
+    return y[:, oh:oh + out_h, ow:ow + out_w, :]
+
+
 def upscore_conv_transpose_cropped(x: jnp.ndarray, kernel: jnp.ndarray, *,
                                    stride: int, crop_offset: int,
                                    out_h: int, out_w: int) -> jnp.ndarray:
@@ -185,13 +240,17 @@ def upscore_conv_transpose_cropped(x: jnp.ndarray, kernel: jnp.ndarray, *,
     its bilinear init (train.py:168-171 sets requires_grad, 304-307 yields
     it to Adam) — only the FCN upscore stays a fixed function (324-327).
     This is the exact ConvTranspose2d semantic (zero padding, full output
-    (in-1)*stride + K) for that trained kernel, realized as lhs-dilated
-    conv. Equal to `upsample_bilinear_cropped` when `kernel` equals
+    (in-1)*stride + K) for that trained kernel. Equal to
+    `upsample_bilinear_cropped` when `kernel` equals
     `bilinear_upsampling_kernel` (tested). Differentiable in both x and
-    kernel; with Cin=Cout=2 the whole op is a rounding error of the step's
-    FLOPs.
+    kernel. Every reference geometry has K = 2·stride and takes the phase
+    matmul fast path; other shapes fall back to a lhs-dilated conv.
     """
     kh, kw = kernel.shape[0], kernel.shape[1]
+    if kh == kw == 2 * stride:
+        return _phase_conv_transpose_cropped(
+            x, kernel, stride=stride, crop_offset=crop_offset,
+            out_h=out_h, out_w=out_w)
     # ConvTranspose = correlation of the s-dilated input with the kernel
     # spatially FLIPPED (invisible for the symmetric bilinear init, load-
     # bearing for a trained kernel — validated against torch

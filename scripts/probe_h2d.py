@@ -927,7 +927,11 @@ def run_program(mode: str) -> None:
             jax.random.PRNGKey(0), x[:1], mode="both"))()["params"]
         predict = make_szn_predictor(model, params,
                                      load_class_embeddings("pascal", 20),
-                                     [1, 13])
+                                     [1, 13],
+                                     # fresh init: structurally pristine (a
+                                     # device tree can't be sniffed on the
+                                     # tunnel — serving.py would raise)
+                                     upscore_trained=False)
         jax.block_until_ready(predict(x))
         return
 

@@ -61,6 +61,105 @@ def test_predictor_trained_upscore_exact(rng):
     assert (bl != want).any(), "perturbed upscore changed nothing — dead test"
 
 
+def test_upscore_trained_numeric_tristate(rng, monkeypatch):
+    """The numeric trained-ness probe: False on pristine/missing, True on
+    drifted values (host numpy OR cpu-device arrays — both readable), None
+    only when the leaf is an unreadable remote-device array on the tunnel."""
+    from zeroshotsemanticsegmentation_tpu.serving import (
+        upscore_trained_numeric)
+    from zeroshotsemanticsegmentation_tpu.ops import dotpolicy
+    _, params, _ = build(rng)
+    params = jax.tree.map(np.asarray, params)
+    assert upscore_trained_numeric(params) is False  # fresh init: bilinear
+    assert upscore_trained_numeric({"fc6": params["fc6"]}) is False  # FCN8s
+    up = params["seenmask_upscore"]["kernel"]
+    trained = up + rng.randn(*up.shape).astype(np.float32)
+    params["seenmask_upscore"]["kernel"] = trained
+    assert upscore_trained_numeric(params) is True
+    # cpu-device leaves read back harmlessly even with the tunnel env present
+    params["seenmask_upscore"]["kernel"] = jnp.asarray(trained)
+    monkeypatch.setattr(dotpolicy, "axon_tunnel_detected", lambda: True)
+    assert upscore_trained_numeric(params) is True
+
+    class _Remote:  # looks like a non-cpu jax.Array: not readable
+        pass
+
+    params["seenmask_upscore"]["kernel"] = _Remote()
+    assert upscore_trained_numeric(params) is None
+
+
+def test_predictor_device_tree_unreadable_raises(rng, monkeypatch):
+    """VERDICT round-4 weak #2 regression: a device-resident stage-2-trained
+    tree whose values CANNOT be inspected must raise, never silently take the
+    fixed-bilinear gate shortcut."""
+    import pytest
+    from zeroshotsemanticsegmentation_tpu.ops import dotpolicy
+    model, params, embed = build(rng)
+    monkeypatch.setattr(dotpolicy, "axon_tunnel_detected", lambda: True)
+
+    class _Remote:
+        pass
+
+    params = jax.tree.map(np.asarray, params)
+    params["seenmask_upscore"]["kernel"] = _Remote()
+    with pytest.raises(ValueError, match="device-resident"):
+        make_szn_predictor(model, params, embed, [2, 5])
+    # explicit structural knowledge bypasses the numeric probe entirely:
+    # False engages the fused shortcut, and the predictor builds fine
+    params2 = jax.tree.map(np.asarray, build(rng)[1])
+    predict = make_szn_predictor(model, params2, embed, [2, 5],
+                                 upscore_trained=False)
+    imgs = rng.randn(1, 64, 64, 3).astype(np.float32) * 40
+    assert np.asarray(predict(jnp.asarray(imgs))).shape == (1, 64, 64)
+
+
+def test_predictor_upscore_trained_false_contradiction_raises(rng):
+    """Explicit upscore_trained=False on params whose values ARE trained is a
+    caller error the numeric cross-check catches loudly."""
+    import pytest
+    model, params, embed = build(rng)
+    params = jax.tree.map(np.asarray, params)
+    up = params["seenmask_upscore"]["kernel"]
+    params["seenmask_upscore"]["kernel"] = (
+        up + rng.randn(*up.shape).astype(np.float32))
+    with pytest.raises(ValueError, match="differs from its bilinear init"):
+        make_szn_predictor(model, params, embed, [2, 5],
+                           upscore_trained=False)
+
+
+def test_predictor_trained_upscore_mesh_and_device_tree(rng):
+    """ADVICE round-4 high regression: the trained-upscore route must engage
+    (a) under a mesh — the probe used to run AFTER shard_params had device_put
+    every leaf, silently falling back to the bilinear gate — and (b) for a
+    device-resident tree (auto-detected here on cpu; structural flag on the
+    tunnel). All three predictors must agree with the unfused pipeline."""
+    from zeroshotsemanticsegmentation_tpu.parallel import make_mesh
+    model, params, embed = build(rng)
+    params = jax.tree.map(np.asarray, params)
+    up = params["seenmask_upscore"]["kernel"]
+    params["seenmask_upscore"]["kernel"] = (
+        up + rng.randn(*up.shape).astype(np.float32))
+    unseen = [2, 5]
+    imgs = rng.randn(4, 64, 64, 3).astype(np.float32) * 40
+    f, s = model.apply({"params": params}, jnp.asarray(imgs), mode="both")
+    want = np.asarray(infer_labels_szn(
+        f, s, jnp.asarray(embed), jnp.asarray(unseen_mask_vector(9, unseen))))
+
+    mesh = make_mesh(4, 2)
+    got_mesh = np.asarray(make_szn_predictor(
+        model, params, embed, unseen, mesh=mesh)(imgs))
+    assert (got_mesh != want).mean() < 1e-4
+
+    dev_params = jax.tree.map(jnp.asarray, params)  # device-resident tree
+    got_dev = np.asarray(make_szn_predictor(
+        model, dev_params, embed, unseen)(jnp.asarray(imgs)))
+    assert (got_dev != want).mean() < 1e-4
+    got_flag = np.asarray(make_szn_predictor(
+        model, dev_params, embed, unseen, upscore_trained=True)(
+        jnp.asarray(imgs)))
+    assert (got_flag != want).mean() < 1e-4
+
+
 def test_predictor_accepts_uint8(rng):
     """Compact-feed serving: uint8 RGB in == host-transformed float32 in."""
     model, params, embed = build(rng)

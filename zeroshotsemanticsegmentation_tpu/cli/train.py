@@ -141,14 +141,38 @@ def run_experiment(cfg, *, preset: int = 0, name: str | None = None,
 
     start_epoch = start_iteration = 0
     best_mean_iu = 0.0
+    # STRUCTURAL `seenmask_upscore` trained-ness (reference stage 2 trains it,
+    # train.py:304-307): read from checkpoint metadata when present; None
+    # (fresh init / legacy checkpoint) lets the trainer fall back to numeric
+    # host-leaf sniffing. Threads to FCNTrainer -> fused-eval gate routing.
+    upscore_trained = None
     load_path = resume or cfg.load_fcn_path
     checkpoint = None
     ckpt_path = None
     if load_path:
-        ckpt_path = load_path if ckpt.checkpoint_exists(load_path) else \
+        from zeroshotsemanticsegmentation_tpu.models.ref_import import (
+            is_reference_checkpoint, load_reference_checkpoint)
+        ckpt_path = load_path if (ckpt.checkpoint_exists(load_path)
+                                  or is_reference_checkpoint(load_path)) else \
             osp.join(data_dir, "logs", load_path, "best")
-        checkpoint = ckpt.restore_checkpoint(ckpt_path)
-        params = _merge_params(params, checkpoint["params"], logger)
+        if is_reference_checkpoint(ckpt_path):
+            # a reference torch.save FILE (orbax checkpoints are dirs):
+            # import the model weights with layout surgery; torch optimizer
+            # state is not convertible (models/ref_import.py docstring)
+            checkpoint = load_reference_checkpoint(ckpt_path, params)
+            params = checkpoint["params"]
+            logger.stdout(
+                f"imported reference torch checkpoint {ckpt_path} "
+                f"(epoch {checkpoint['epoch']}, upscore_trained="
+                f"{checkpoint['upscore_trained']}; optimizer state "
+                "reinitialized)")
+            if checkpoint["skipped_keys"]:
+                logger.stdout("  skipped unknown checkpoint keys: "
+                              + ", ".join(checkpoint["skipped_keys"]))
+        else:
+            checkpoint = ckpt.restore_checkpoint(ckpt_path)
+            params = _merge_params(params, checkpoint["params"], logger)
+        upscore_trained = checkpoint.get("upscore_trained")
         # checkpoint['epoch'] is the last *completed* epoch; training resumes
         # after it (the reference re-runs every epoch on resume — train.py:295
         # ignores the restored counter — which we treat as a bug, not parity)
@@ -181,7 +205,7 @@ def run_experiment(cfg, *, preset: int = 0, name: str | None = None,
     # 4. stage-1 trainer
     tx = make_fcn_optimizer(params, optim=cfg.fcn_optim, lr=cfg.fcn_lr)
     opt_state = None
-    if checkpoint is not None:
+    if checkpoint is not None and checkpoint.get("opt_state") is not None:
         # reference restores optimizer state whenever a checkpoint is loaded
         # (train.py:134-135); orbax needs the live optax structure as the
         # restore target (raw restore loses the namedtuple containers)
@@ -199,7 +223,8 @@ def run_experiment(cfg, *, preset: int = 0, name: str | None = None,
         train_loader=train_seen_loader, val_loader=val_loader, logger=logger,
         embeddings=embeddings, target_embeddings=target_embeddings,
         start_epoch=start_epoch, start_iteration=start_iteration,
-        best_mean_iu=best_mean_iu, opt_state=opt_state, mesh=mesh)
+        best_mean_iu=best_mean_iu, opt_state=opt_state, mesh=mesh,
+        upscore_trained=upscore_trained)
 
     summary = {"log_dir": log_dir}
     if cfg.mode == "train":

@@ -21,8 +21,38 @@ from zeroshotsemanticsegmentation_tpu.ops.szn_fused import (
     infer_labels_szn_fused)
 
 
+def upscore_trained_numeric(params):
+    """Numeric trained-ness of `seenmask_upscore`: True/False when the leaf's
+    values can be inspected (drifted-from / equal-to its bilinear init), None
+    when they cannot. Host numpy leaves (orbax restores) are checked
+    directly. Device leaves are read back ONLY off the axon tunnel (CPU
+    tests, clean TPU hosts) — on the tunnel any device->host readback
+    permanently collapses H2D bandwidth (CLAUDE.md), so there the answer is
+    None and callers must rely on structural knowledge (checkpoint
+    metadata's `upscore_trained`, set by stage 2)."""
+    up = params.get("seenmask_upscore", {}).get("kernel")
+    if up is None:
+        return False  # arch without the param (FCN8s): fixed bilinear gate
+    if not isinstance(up, np.ndarray):
+        from zeroshotsemanticsegmentation_tpu.ops.dotpolicy import (
+            axon_tunnel_detected)
+        # CPU-backed arrays (the test mesh; any host platform) read back
+        # harmlessly even with the tunnel env present — the collapse is a
+        # remote-TPU-transport artifact
+        on_cpu = all(d.platform == "cpu" for d in getattr(
+            up, "devices", lambda: [])()) if hasattr(up, "devices") else False
+        if axon_tunnel_detected() and not on_cpu:
+            return None
+        up = np.asarray(up)
+    from zeroshotsemanticsegmentation_tpu.ops.bilinear import (
+        bilinear_upsampling_kernel)
+    return not np.array_equal(
+        up, bilinear_upsampling_kernel(up.shape[2], up.shape[0]))
+
+
 def make_szn_predictor(model, params, embeddings, unseen_classes,
-                       *, mesh=None, spatial=False, int8=False):
+                       *, mesh=None, spatial=False, int8=False,
+                       upscore_trained=None):
     """Returns predict(images (B,H,W,3) float32 BGR-mean-sub) -> (B,H,W) int32.
 
     `unseen_classes`: class ids routed to the unseen partition (the trained
@@ -38,7 +68,42 @@ def make_szn_predictor(model, params, embeddings, unseen_classes,
     at tiny batch (e.g. one panorama that exceeds a single chip's HBM).
     GSPMD inserts the conv halo exchanges / regathers; outputs are
     identical to the batch-sharded and single-device paths.
+
+    `upscore_trained` (tri-state): the fused kernel upsamples the seenmask
+    GATE with fixed bilinear taps — exact only while `seenmask_upscore`
+    equals its bilinear init. The reference's stage 2 TRAINS that kernel
+    (train.py:304-307), so stage-2-trained checkpoints must route the gate
+    through the model's own ConvTranspose instead (a (B,H,W,2) side
+    computation; the class projection/upsample/argmax stays in the Pallas
+    kernel). Pass True for stage-2-trained params, False for fresh/stage-1
+    params (checkpoint metadata carries this: train.checkpoint
+    `upscore_trained`). Default None auto-detects from the kernel's values
+    (upscore_trained_numeric); on the axon tunnel a DEVICE-resident tree
+    cannot be inspected (readbacks collapse H2D bandwidth, CLAUDE.md) and
+    None raises rather than risk silently wrong labels — pass the flag.
     """
+    # resolved BEFORE any device placement below — restored checkpoints are
+    # host numpy here, so the numeric cross-check still sees real values
+    numeric = upscore_trained_numeric(params)
+    if upscore_trained is None:
+        if numeric is None:
+            raise ValueError(
+                "make_szn_predictor: params are device-resident and this "
+                "platform's H2D collapse forbids reading them back, so "
+                "`seenmask_upscore` trained-ness cannot be auto-detected. "
+                "Pass upscore_trained=True for stage-2-trained params or "
+                "False for fresh/stage-1 params (checkpoint metadata "
+                "'upscore_trained' records this).")
+        upscore_trained = numeric
+    elif (numeric is not None and numeric
+          and not upscore_trained):  # explicit False contradicted by values
+        raise ValueError(
+            "make_szn_predictor: upscore_trained=False but the "
+            "`seenmask_upscore` kernel differs from its bilinear init — the "
+            "fused bilinear-gate shortcut would produce wrong labels. Pass "
+            "upscore_trained=True (or None to auto-detect).")
+    pristine_upscore = not upscore_trained
+
     embed = jnp.asarray(embeddings, jnp.float32)
     unseen_vec = jnp.asarray(
         unseen_mask_vector(embed.shape[0], list(unseen_classes)))
@@ -54,23 +119,6 @@ def make_szn_predictor(model, params, embeddings, unseen_classes,
     # call — its heads are height-sharded, and GSPMD regathers the tiny
     # 1/32-res heads before the kernel
     kernel_mesh = mesh if (mesh is not None and not spatial) else None
-
-    # The fused kernel upsamples the seenmask GATE with fixed bilinear taps
-    # — exact only while `seenmask_upscore` equals its bilinear init. The
-    # reference's stage 2 TRAINS that kernel (train.py:304-307), so
-    # stage-2-trained checkpoints route the gate through the model's own
-    # trained ConvTranspose at full res (a (B,H,W,2) side computation; the
-    # class projection/upsample/argmax stays in the Pallas kernel). Host
-    # numpy params are checked directly; device params are assumed pristine
-    # (fresh init) — reading them back would trip the H2D collapse
-    # (CLAUDE.md).
-    up = params.get("seenmask_upscore", {}).get("kernel")
-    pristine_upscore = True
-    if isinstance(up, np.ndarray):
-        from zeroshotsemanticsegmentation_tpu.ops.bilinear import (
-            bilinear_upsampling_kernel)
-        pristine_upscore = bool(np.array_equal(
-            up, bilinear_upsampling_kernel(up.shape[2], up.shape[0])))
 
     # params/embed stay jit *arguments* (closing over them would inline the
     # full weight tree into the HLO as constants)

@@ -98,11 +98,17 @@ def _link_copy(src: str, dst: str) -> None:
 
 def save_checkpoint(log_dir: str, *, params, opt_state, epoch: int,
                     iteration: int, best_mean_iu: float,
-                    is_best: bool) -> None:
+                    is_best: bool, upscore_trained: bool = False) -> None:
+    """`upscore_trained` records STRUCTURALLY whether `seenmask_upscore` has
+    been optimized (stage 2 ran — reference train.py:304-307): consumers pick
+    the fused bilinear-gate inference shortcut only when it is False. Carried
+    as metadata because sniffing array values can't work for device-resident
+    trees (any device->host readback collapses H2D here, CLAUDE.md)."""
     _finish_pending()  # the previous async save must land first
     tree = {"params": _to_host(params), "opt_state": _to_host(opt_state)}
     meta = {"arch": ARCH, "epoch": int(epoch), "iteration": int(iteration),
-            "best_mean_iu": float(best_mean_iu)}
+            "best_mean_iu": float(best_mean_iu),
+            "upscore_trained": bool(upscore_trained)}
     ckptr = _checkpointer()
     base = osp.abspath(log_dir)
     os.makedirs(base, exist_ok=True)

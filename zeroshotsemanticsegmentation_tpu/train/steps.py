@@ -418,8 +418,11 @@ def make_seenmask_train_step(model, tx, *, seen_vec):
         key = jax.random.fold_in(dropout_key, state.step)
         images, labels = _prepare_batch(batch)
         target = _seenmask_target(labels, batch["sizes"], seen_vec)
+        # FCN8s keeps a fixed seenmask upsample (fcn8s.py) so it has no
+        # `seenmask_upscore` param — train whichever of the two exist
+        trained = tuple(k for k in _TRAINED if k in state.params)
         frozen = {k: v for k, v in state.params.items()
-                  if k not in _TRAINED}
+                  if k not in trained}
 
         def loss_fn(trained_params):
             params = dict(frozen)
@@ -435,7 +438,7 @@ def make_seenmask_train_step(model, tx, *, seen_vec):
 
         (loss, score), trained_grads = jax.value_and_grad(
             loss_fn, has_aux=True)(
-            {k: state.params[k] for k in _TRAINED})
+            {k: state.params[k] for k in trained})
         grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
         grads.update(trained_grads)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)

@@ -75,7 +75,8 @@ def _upscore_pristine(params) -> bool:
     return leaf.shape == ref.shape and bool(np.array_equal(leaf, ref))
 
 
-def echo_feed(loader, put, *, depth: int = 2, min_pool: int = 3):
+def echo_feed(loader, put, *, depth: int = 2, min_pool: int = 3,
+              max_factor: float = 4.0):
     """Device-resident batch pool with asynchronous refresh (data echoing).
 
     Platform finding (2026-08-17, axon TPU tunnel): executing one large
@@ -94,6 +95,16 @@ def echo_feed(loader, put, *, depth: int = 2, min_pool: int = 3):
     drops by the echo factor (served/fresh — cf. data echoing, Choi et
     al. 2020), which the trainer logs. Training-only — validation must
     never echo.
+
+    `max_factor` bounds the echo factor: once served/fresh would exceed it,
+    the feed BLOCKS on the oldest in-flight transfer instead of re-serving
+    the pool, so a fully starved feed degrades to "wait for data" rather
+    than re-serving `min_pool` batches indefinitely. The default 4 is the
+    largest factor inside the measured accuracy envelope
+    (docs/ECHO_DYNAMICS.md — echo beats starved-fresh at fixed wall-clock
+    for f ∈ {2, 4}; beyond that the claim is extrapolation). Epoch-tail
+    echoes (loader exhausted, nothing in flight) are exempt — they are
+    bounded by `depth` and the alternative is ending the epoch short.
 
     Yields (host_batch, device_batch); host_batch is None for echoes.
     """
@@ -128,11 +139,15 @@ def echo_feed(loader, put, *, depth: int = 2, min_pool: int = 3):
                 pool.append(fresh)
                 if len(pool) > min_pool:
                     pool.pop(0)
-            if fresh is None and not pool and inflight:
-                # nothing resident yet (epoch start): block on the first
+            over_cap = (served + 1) / max(served - echoes, 1) > max_factor
+            if fresh is None and inflight and (not pool or over_cap):
+                # epoch start (nothing resident yet) or the echo-factor cap
+                # reached: block on the oldest transfer for a fresh batch
                 fresh = inflight.popleft()
                 jax.block_until_ready(fresh[1])
                 pool.append(fresh)
+                if len(pool) > min_pool:
+                    pool.pop(0)
             if fresh is None and not pool:
                 break  # loader shorter than len() claimed
             served += 1
@@ -219,7 +234,7 @@ class FCNTrainer:
                  logger, embeddings=None, target_embeddings=None,
                  start_epoch: int = 0,
                  start_iteration: int = 0, best_mean_iu: float = 0.0,
-                 opt_state=None, mesh=None):
+                 opt_state=None, mesh=None, upscore_trained=None):
         self.cfg = cfg
         self.model = model
         self.tx = tx
@@ -252,10 +267,18 @@ class FCNTrainer:
                 else np.asarray(target_embeddings, np.float32))
         self.embeddings = emb
 
-        # checked BEFORE any device placement: restored checkpoint leaves are
-        # host numpy (orbax), fresh-init leaves are device arrays that are
-        # pristine by construction — either way no device->host readback
-        self._pristine_upscore = _upscore_pristine(params)
+        # `seenmask_upscore` trained-ness is STRUCTURAL when known: checkpoint
+        # metadata (checkpoint.save_checkpoint upscore_trained=..., set by
+        # stage 2) threads through run_experiment to this kwarg. Only when the
+        # caller passes None (legacy checkpoint / direct library use) fall
+        # back to numeric sniffing — checked BEFORE any device placement:
+        # restored checkpoint leaves are host numpy (orbax), fresh-init
+        # leaves are device arrays that are pristine by construction —
+        # either way no device->host readback.
+        if upscore_trained is None:
+            upscore_trained = not _upscore_pristine(params)
+        self.upscore_trained = bool(upscore_trained)
+        self._pristine_upscore = not self.upscore_trained
 
         if mesh is not None:
             from zeroshotsemanticsegmentation_tpu.parallel import (
@@ -338,7 +361,9 @@ class FCNTrainer:
         log = self.logger
         profiling = False
         echo = getattr(self.cfg, "data_echo", "off") == "auto"
-        feed = (echo_feed(self.train_loader, self._put) if echo
+        feed = (echo_feed(self.train_loader, self._put,
+                          max_factor=getattr(self.cfg, "data_echo_max_factor",
+                                             4.0)) if echo
                 else prefetch_to_device(self.train_loader, self._put))
         it0 = int(self.state.step)  # one sync per epoch; steps add 1 each
         buf = StepLogBuffer(getattr(self.cfg, "log_flush_steps", 16),
@@ -439,7 +464,7 @@ class FCNTrainer:
             log.log_dir, params=self.state.params,
             opt_state=self.state.opt_state, epoch=self.epoch,
             iteration=self.iteration, best_mean_iu=self.best_mean_iu,
-            is_best=is_best)
+            is_best=is_best, upscore_trained=self.upscore_trained)
         return mean_iu
 
     def train(self) -> None:

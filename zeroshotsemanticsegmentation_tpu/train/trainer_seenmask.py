@@ -55,6 +55,12 @@ class SeenmaskTrainer:
         seen = np.array([c not in set(cfg.train_unseen) for c in range(n)])
         seen_vec = seen  # host np: jit-captured device consts collapse H2D
 
+        # stage 2 optimizes `seenmask_upscore` whenever the arch has one
+        # (reference train.py:304-307) — record that STRUCTURALLY so every
+        # checkpoint this trainer writes carries upscore_trained metadata
+        # (FCN8s keeps a fixed seenmask upsample: stays False)
+        self.upscore_trained = "seenmask_upscore" in params
+
         if mesh is not None:
             from zeroshotsemanticsegmentation_tpu.parallel import shard_params
             params = shard_params(params, mesh)
@@ -100,7 +106,9 @@ class SeenmaskTrainer:
         echo = getattr(self.cfg, "data_echo", "off") == "auto"
         from zeroshotsemanticsegmentation_tpu.train.trainer_fcn import (
             echo_feed)
-        feed = (echo_feed(self.train_loader, self._put) if echo
+        feed = (echo_feed(self.train_loader, self._put,
+                          max_factor=getattr(self.cfg, "data_echo_max_factor",
+                                             4.0)) if echo
                 else prefetch_to_device(self.train_loader, self._put))
         it0 = int(self.state.step)  # one sync per epoch; steps add 1 each
         buf = StepLogBuffer(getattr(self.cfg, "log_flush_steps", 16),
@@ -168,7 +176,7 @@ class SeenmaskTrainer:
             epoch=base.get("epoch", self.epoch),
             iteration=self.iteration,
             best_mean_iu=base.get("best_mean_iu", self.best_mean_iu),
-            is_best=is_best)
+            is_best=is_best, upscore_trained=self.upscore_trained)
         return mean_iu
 
     def train(self, *, base_checkpoint: dict | None = None) -> None:

@@ -72,6 +72,10 @@ class Config:
     # platform's link drops to ~40 MB/s after the first big program; see
     # trainer_fcn.echo_feed). "off" = reference-exact sample schedule.
     data_echo: str = "off"
+    # hard bound on echo_feed's served/fresh ratio: past it the feed blocks
+    # on a fresh transfer instead of re-serving the pool. 4.0 = the largest
+    # factor inside the measured accuracy envelope (docs/ECHO_DYNAMICS.md)
+    data_echo_max_factor: float = 4.0
     profile_steps: int = 0                 # >0: jax.profiler trace of N steps
 
     @property
@@ -158,6 +162,14 @@ def validate_config(cfg: Config) -> None:
             "joint-embedding space must be size of one-hot embedding space")
     if cfg.mode in ("test_fcn", "test_all") and not cfg.load_fcn_path:
         raise ValueError("must set load_fcn_path for test modes")
+    if cfg.load_fcn_path and cfg.load_fcn_path.startswith("<"):
+        # presets 15/17/19 ship a placeholder so the preset is loadable but
+        # unrunnable until pointed at a trained run — fail HERE with a clear
+        # message instead of an opaque restore error later
+        raise ValueError(
+            f"load_fcn_path is the placeholder {cfg.load_fcn_path!r} — "
+            "override it with the run directory of the matching train "
+            "preset (CLI: -r <run dir of the train preset>)")
     if cfg.fcn_epochs < 1 and not cfg.load_fcn_path:
         raise ValueError("fcn_epochs < 1 requires load_fcn_path")
     if cfg.seenmask_epochs > 0 and not cfg.train_unseen:
@@ -172,6 +184,9 @@ def validate_config(cfg: Config) -> None:
         raise ValueError("batch sizes must divide by data_parallel")
     if cfg.data_echo not in ("off", "auto"):
         raise ValueError(f"unknown data_echo {cfg.data_echo!r}")
+    if cfg.data_echo_max_factor <= 1.0:
+        raise ValueError("data_echo_max_factor must be > 1 (1 = no echo; "
+                         "use data_echo='off' instead)")
     if cfg.log_flush_steps < 0:
         raise ValueError("log_flush_steps must be >= 0 (0 = epoch-end only)")
     if cfg.fused_block1 not in ("off", "on", "auto"):

@@ -889,8 +889,12 @@ def block1_op(xp, k1, b1, k2, b2, dtype=jnp.bfloat16):
     autodiff the custom_vjp's fwd rule runs the two-stage fused_block1
     instead — its backward wants the c11p intermediate in HBM anyway — so
     training keeps the round-3 kernel pair (XLA conv1_1 autodiff + the
-    flash-style _conv2_pool_bwd), bit-for-bit. The two forwards agree to
-    fp32 accumulation order (both MXU, one summation tree per formulation).
+    flash-style _conv2_pool_bwd), bit-for-bit. At bf16 the two forwards
+    differ only by rounding-point placement: every deviation (from each
+    other and from the fp32 reference) is within ~1 bf16 ULP at the output's
+    max magnitude (pinned by test_full_vs_twostage_bf16_parity; per-element
+    ULP agreement is unattainable for ANY bf16 pair here — conv1_1 rounding
+    propagates through conv1_2's 576-term accumulation).
     """
     B, hp, wp, _ = xp.shape
     if fused_block1_full_supported(hp, wp, dtype=dtype):

@@ -190,6 +190,103 @@ def test_context_unseen_filter_after_shift(tmp_path):
     assert tr.ids == ["u2"]  # u1 contains class 17-1=16
 
 
+def test_context59_dataset_and_assets(tmp_path):
+    """59-class extension (NOT in the reference): labels live under
+    59_context_labels, unmapped pixels (PNG 0) become ignore (-1) WITHOUT
+    dropping the image (the 33-class drop-invalid rule would empty the
+    splits under the 59 vocabulary), and the presence cache is variant-keyed."""
+    from zeroshotsemanticsegmentation_tpu.data.assets import class_names
+    assert len(class_names("context", 59)) == 59
+    assert class_names("context", 33) == class_names("context")
+    oh59 = load_class_embeddings("context", 59, one_hot=True, n_classes=59)
+    assert oh59.shape == (59, 59) and (oh59 == np.eye(59)).all()
+    # the 59-class word2vec matrix cannot be bundled air-gapped: clear error
+    with pytest.raises(FileNotFoundError, match="egress"):
+        load_class_embeddings("context", 20, n_classes=59)
+
+    root = tmp_path / "data"
+    voc = root / "pascal" / "VOCdevkit" / "VOC2012" / "JPEGImages"
+    ctx = root / "context" / "59_context_labels"
+    voc.mkdir(parents=True); ctx.mkdir(parents=True)
+    assets = tmp_path / "assets" / "context"
+    assets.mkdir(parents=True)
+    rng = np.random.RandomState(3)
+    # d1 has unmapped pixels (0) — must be KEPT, with -1 ignore labels
+    for did, vals in [("d1", [0, 7]), ("d2", [59, 3])]:
+        img = rng.randint(0, 255, size=(16, 16, 3)).astype(np.uint8)
+        PIL.Image.fromarray(img).save(voc / f"{did}.jpg")
+        lbl = np.full((16, 16), vals[0], np.int32)
+        lbl[:8] = vals[1]
+        _write_label_png(ctx / f"{did}.png", lbl)
+    for split in ["train", "val"]:
+        (assets / f"{split}.txt").write_text("d1\nd2\n")
+    kw = dict(data_dir=str(root), assets_dir=str(tmp_path / "assets"),
+              n_classes=59)
+    ds = PascalContext("val", **kw)
+    assert ds.ids == ["d1", "d2"]  # no invalid-image drop at 59
+    s0 = ds[0]
+    assert s0["label"].min() == -1 and s0["label"].max() == 6
+    assert ds[1]["label"].max() == 58
+    # unseen filtering still works on the 59-class ids
+    tr = PascalContext("train", val_unseen=[58], **kw)
+    assert tr.ids == ["d1"]
+    assert osp.exists(osp.join(str(root), "cache",
+                               "context59_train_presence.npz"))
+
+
+def test_make_context59_labels_converter(tmp_path):
+    """Official-annotation remap: ids come from labels.txt BY NAME; missing
+    names fail loudly; unmapped raw ids become PNG 0 (ignore)."""
+    import scipy.io
+
+    from scripts.make_context59_labels import build_lut, convert
+    from zeroshotsemanticsegmentation_tpu.data.assets import (
+        CONTEXT59_CLASS_NAMES)
+
+    # fabricate a labels.txt: the 59 names at scattered raw ids + extras
+    rng = np.random.RandomState(0)
+    raw_ids = rng.permutation(np.arange(2, 500))[:59]
+    lines = [f"{rid}: {name}" for rid, name
+             in zip(raw_ids, CONTEXT59_CLASS_NAMES)]
+    lines += ["1: somethingrare", "500: anotherextra"]
+    labels_txt = tmp_path / "labels.txt"
+    labels_txt.write_text("\n".join(lines) + "\n")
+
+    mat_dir = tmp_path / "trainval"
+    mat_dir.mkdir()
+    # raw LabelMap containing: the raw id of class index 10, an extra (1),
+    # and the raw id of class index 58
+    raw = np.full((10, 12), raw_ids[10], np.uint16)
+    raw[:5] = 1
+    raw[:, :3] = raw_ids[58]
+    scipy.io.savemat(mat_dir / "2008_000001.mat", {"LabelMap": raw})
+    out = tmp_path / "out"
+    n = convert(str(labels_txt), str(mat_dir), str(out))
+    assert n == 1
+    png = np.asarray(PIL.Image.open(out / "2008_000001.png"))
+    assert png[6, 5] == 11      # class index 10 -> 1-indexed 11
+    assert png[0, 5] == 0       # extra class -> unmapped
+    assert png[6, 1] == 59      # class index 58 -> 59
+    # and the loader shifts it to the 0-indexed/-1 convention
+    assert png.dtype == np.uint8
+
+    # missing a 59-class name in labels.txt must refuse to build a lut
+    with pytest.raises(ValueError, match="missing"):
+        build_lut({"aeroplane": 3}, max_raw_id=10)
+
+
+def test_context_classes_config_validation():
+    from zeroshotsemanticsegmentation_tpu.configs import (
+        PRESETS, validate_config)
+    cfg = PRESETS[18].replace(context_classes=59)
+    validate_config(cfg)  # fine
+    assert cfg.num_classes == 59
+    with pytest.raises(ValueError, match="33"):
+        validate_config(PRESETS[18].replace(context_classes=21))
+    with pytest.raises(ValueError, match="context"):
+        validate_config(PRESETS[14].replace(context_classes=59))
+
+
 # --------------------------------------------------------------- pipeline
 
 def test_batch_loader_shapes_and_padding():

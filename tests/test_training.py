@@ -201,6 +201,19 @@ def test_seenmask_stage_fcn8s(rng):
     assert frozen_delta == 0, "backbone must stay frozen in stage 2"
 
 
+def test_context59_end_to_end(tmp_path):
+    """59-class context variant (extension): full two-stage pipeline with
+    the enlarged vocabulary — config -> 59-class synthetic data -> training
+    -> seen/unseen eval breakdown."""
+    cfg = tiny_cfg(dataset="context", context_classes=59, fcn_epochs=1,
+                   seenmask_epochs=1)
+    assert cfg.num_classes == 59
+    out = run_tiny(tmp_path, cfg, log_name="ctx59")
+    va = pd.read_csv(osp.join(out["log_dir"], "val_log.csv"))
+    assert "val/unseen/mean_iu" in va.columns
+    assert np.isfinite(va["val/loss"]).all()
+
+
 def test_forced_unseen_oracle_mode(tmp_path):
     cfg = tiny_cfg(fcn_epochs=1, forced_unseen=True)
     out = run_tiny(tmp_path, cfg, log_name="forced")

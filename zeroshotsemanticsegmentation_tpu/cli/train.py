@@ -57,6 +57,8 @@ def _build_datasets(cfg, *, data_dir, synthetic):
         return mk(8, 0), mk(6, 1), mk(4, 2)
     cls = PascalVOC if cfg.dataset == "pascal" else PascalContext
     kw = dict(data_dir=data_dir, val_unseen=list(cfg.val_unseen))
+    if cfg.dataset == "context":
+        kw["n_classes"] = cfg.context_classes
     train = cls("train", **kw)
     train_seen = cls("train_seen", train_unseen=list(cfg.train_unseen), **kw)
     val = cls("val", **kw)
@@ -113,14 +115,16 @@ def run_experiment(cfg, *, preset: int = 0, name: str | None = None,
                 cfg.num_classes, cfg.embed_dim).astype(np.float32)
             embeddings = r / np.linalg.norm(r, axis=1, keepdims=True)
         else:
-            embeddings = load_class_embeddings(cfg.dataset, cfg.embed_dim)
+            embeddings = load_class_embeddings(cfg.dataset, cfg.embed_dim,
+                                               n_classes=cfg.num_classes)
         target_embeddings = embeddings
         if cfg.one_hot_embed:
             target_embeddings = (np.eye(cfg.num_classes, dtype=np.float32)
                                  if synthetic else
-                                 load_class_embeddings(cfg.dataset,
-                                                       cfg.embed_dim,
-                                                       one_hot=True))
+                                 load_class_embeddings(
+                                     cfg.dataset, cfg.embed_dim,
+                                     one_hot=True,
+                                     n_classes=cfg.num_classes))
 
     # 3. model + init
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
@@ -346,6 +350,11 @@ def _parse_args(argv=None):
     p.add_argument("--data_echo", type=str, choices=["off", "auto"],
                    help="device-side batch echoing when H2D can't keep up "
                         "(trainer_fcn.echo_feed; default off)")
+    p.add_argument("--context_classes", type=int, choices=[33, 59],
+                   help="PASCAL-Context label vocabulary: 33 (reference "
+                        "parity) or 59 (standard 59-class protocol, "
+                        "extension; needs 59_context_labels + 59-class "
+                        "embeddings — scripts/make_context59_labels.py)")
     p.add_argument("--vgg16", type=str, default=None,
                    help="path to a torch VGG16 state dict (.pth)")
     return p.parse_args(argv)
@@ -373,7 +382,8 @@ def main(argv=None) -> dict:
                      ("model_parallel", "model_parallel"),
                      ("channel_scale", "channel_scale"),
                      ("grad_accum", "grad_accum"),
-                     ("data_echo", "data_echo")]:
+                     ("data_echo", "data_echo"),
+                     ("context_classes", "context_classes")]:
         v = getattr(args, src)
         if v is not None:
             overrides[dst] = v

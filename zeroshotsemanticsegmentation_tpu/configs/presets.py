@@ -78,9 +78,14 @@ class Config:
     data_echo_max_factor: float = 4.0
     profile_steps: int = 0                 # >0: jax.profiler trace of N steps
 
+    # context label vocabulary: 33 (reference parity,
+    # context_dataset.py:16-50) or 59 (the standard PASCAL-Context
+    # 59-class protocol — an extension; see data/context.py)
+    context_classes: int = 33
+
     @property
     def num_classes(self) -> int:
-        return 21 if self.dataset == "pascal" else 33
+        return 21 if self.dataset == "pascal" else self.context_classes
 
     @property
     def head_channels(self) -> int:
@@ -184,6 +189,11 @@ def validate_config(cfg: Config) -> None:
         raise ValueError("batch sizes must divide by data_parallel")
     if cfg.data_echo not in ("off", "auto"):
         raise ValueError(f"unknown data_echo {cfg.data_echo!r}")
+    if cfg.context_classes not in (33, 59):
+        raise ValueError("context_classes must be 33 (reference parity) or "
+                         f"59 (extension), got {cfg.context_classes}")
+    if cfg.dataset == "pascal" and cfg.context_classes != 33:
+        raise ValueError("context_classes applies to the context dataset")
     if cfg.data_echo_max_factor <= 1.0:
         raise ValueError("data_echo_max_factor must be > 1 (1 = no echo; "
                          "use data_echo='off' instead)")

@@ -70,11 +70,16 @@ class SegDatasetBase:
         cols = np.asarray(drop, dtype=np.int64) + 1
         return ~presence[:, cols].any(axis=1)
 
+    def _cache_key(self) -> str:
+        """Presence-cache identity; variants with different label
+        vocabularies (context 33 vs 59) must not share a cache."""
+        return self.dataset_name
+
     def _presence_matrix(self, ids: list[str], use_cache: bool) -> np.ndarray:
         """(n_images, 1 + n_class) bool: column 0 = has-invalid(-1), then classes."""
         n_class = len(self.class_names)
         cache_path = osp.join(self.data_dir, "cache",
-                              f"{self.dataset_name}_{self.split}_presence.npz")
+                              f"{self._cache_key()}_{self.split}_presence.npz")
         if use_cache and osp.exists(cache_path):
             with np.load(cache_path, allow_pickle=False) as z:
                 if list(z["ids"]) == ids:

@@ -17,7 +17,8 @@ import numpy as np
 
 
 def run(n_devices: int, *, channel_scale: float = 0.5,
-        bucket: int = 64, slices: int = 1) -> dict:
+        bucket: int = 64, slices: int = 1,
+        max_step_s: float = 300.0) -> dict:
     # channel_scale 0.5 keeps every sharding real (fc6 is still a 2048-wide
     # Megatron column split) while staying inside XLA:CPU's in-process
     # collective rendezvous termination timeout (hardcoded 40 s): at full
@@ -101,12 +102,13 @@ def run(n_devices: int, *, channel_scale: float = 0.5,
     exec_wall_s = time.perf_counter() - t0
     assert np.isfinite(loss), f"non-finite train loss {loss}"
     assert int(state.step) == 2
-    # generous: one full-width 64² step measures ~75 s on this 1-core CPU
+    # generous: one half-width 64² step measures ~75 s on this 1-core CPU
     # host — the bound only exists to turn a true collective deadlock
-    # (infinite) into a fast, attributable failure
-    assert exec_wall_s < 300, (
+    # (infinite) into a fast, attributable failure (full-width callers pass
+    # a larger max_step_s: 4x the FLOPs on the same single core)
+    assert exec_wall_s < max_step_s, (
         f"a post-compile sharded step took {exec_wall_s:.0f}s "
-        "— collectives are likely stalled")
+        f"(bound {max_step_s:.0f}s) — collectives are likely stalled")
 
     eval_step = make_szn_eval_step(model, loss_name="cos", num_classes=21,
                                    embeddings=emb, all_unseen_vec=unseen_vec,

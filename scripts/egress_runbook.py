@@ -103,7 +103,27 @@ python -m zeroshotsemanticsegmentation_tpu.cli.train -c 15 -dir {d} -r <cfg14 ru
 # reference (torch, in /root/reference):
 ./train.py -c 1 -g 0 ; ./train.py -c 4 -g 0 ; ./train.py -c 14 -g 0 ; ./train.py -c 15 -g 0
 # compare val_log.csv val/mean_iu (+ seen/unseen columns for 14/15);
-# acceptance: |Δ| <= 0.5 pts (BASELINE.md north star)."""
+# acceptance: |Δ| <= 0.5 pts (BASELINE.md north star).
+
+== step 4: reference-checkpoint cross-eval (isolates eval-path parity) ==
+# BEFORE attributing any step-3 mIoU gap to training dynamics: take the
+# reference run's own saved checkpoint (a torch.save FILE at
+# <ref log dir>/best) and evaluate it through THIS framework's eval path —
+# -r accepts it directly (models/ref_import.py layout surgery):
+python -m zeroshotsemanticsegmentation_tpu.cli.train -c 15 -dir {d} -r <reference log dir>/best
+# identical weights, two eval stacks: any metric difference here is
+# eval-path, not training; expect val/mean_iu bit-close to the reference's
+# own test_all output (tests pin the air-gapped half of this equality).
+
+== optional: 59-class PASCAL-Context (extension; not in the reference) ==
+# labels: official full annotations (trainval.tar.gz + labels.txt from the
+# PASCAL-Context site), remapped BY NAME — ordering mismatches fail loudly:
+python scripts/make_context59_labels.py --labels-txt <path>/labels.txt \\
+    --mat-dir <path>/trainval --out-dir {d}/context/59_context_labels
+# embeddings: from the same word2vec model as the reference's pickles, rows
+# ordered as assets.CONTEXT59_CLASS_NAMES, L2-normalized, saved to
+# assets/context/embeddings/norm_embed_arr_<dim>_59.npy; then train with
+# -c 18 --context_classes 59."""
 
 
 def dry_run() -> None:
@@ -146,13 +166,54 @@ def dry_run() -> None:
     assert rel < 1e-3, f"synthetic-artifact import diverges: {rel}"
     print("   PASS: .pth load + surgery + oracle compare wired")
 
+    # step-4 rehearsal: a reference-layout torch checkpoint through the REAL
+    # importer path (torch.save file -> layout surgery -> exact recovery)
+    import importlib.util
+
+    import jax
+    import jax.numpy as jnp
+
+    spec = importlib.util.spec_from_file_location(
+        "zss_torch_oracle", osp.join(_REPO, "tests", "torch_oracle.py"))
+    oracle_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(oracle_mod)
+    from zeroshotsemanticsegmentation_tpu.models import FCN32s
+    from zeroshotsemanticsegmentation_tpu.models.ref_import import (
+        load_reference_checkpoint)
+    m = FCN32s(num_classes=9, channel_scale=0.25)
+    p_src = jax.tree.map(np.asarray, m.init(
+        jax.random.PRNGKey(3), jnp.zeros((1, 64, 64, 3)),
+        mode="both")["params"])
+    oracle = oracle_mod.TorchFCN(p_src)
+    ref_sd = {}
+    for name, conv in oracle.convs.items():
+        ref_sd[f"{name}.weight"] = conv.weight.data
+        ref_sd[f"{name}.bias"] = conv.bias.data
+    ref_sd["upscore.weight"] = oracle.up_score_fr
+    ref_sd["seenmask_upscore.weight"] = oracle.up_seenmask_score.data
+    with tempfile.NamedTemporaryFile(suffix="") as f:
+        torch.save({"epoch": 1, "iteration": 2, "arch": "FCN32s",
+                    "optim_state_dict": {}, "model_state_dict": ref_sd,
+                    "best_mean_iu": 0.1}, f.name)
+        ck = load_reference_checkpoint(
+            f.name, jax.tree.map(np.asarray, m.init(
+                jax.random.PRNGKey(4), jnp.zeros((1, 64, 64, 3)),
+                mode="both")["params"]))
+    for mod in p_src:
+        for leaf in p_src[mod]:
+            assert np.array_equal(ck["params"][mod][leaf],
+                                  p_src[mod][leaf]), f"{mod}.{leaf}"
+    print("   PASS: reference-checkpoint importer round-trips exactly")
+
     # the pieces egress day imports — catch signature/module rot now
     from zeroshotsemanticsegmentation_tpu.cli.train import run_experiment  # noqa: F401
     from zeroshotsemanticsegmentation_tpu.data.download import (  # noqa: F401
         download_context, download_pascal)
     from zeroshotsemanticsegmentation_tpu.models.pretrained import (  # noqa: F401
         VGG16_MD5, cached_download_vgg16, md5sum)
-    print("   PASS: CLI / download / pretrained entry points import")
+    from scripts.make_context59_labels import build_lut, convert  # noqa: F401
+    print("   PASS: CLI / download / pretrained / context59 entry points "
+          "import")
     print(PARITY_RUNS.format(d="<data_dir>"))
     print("dry run OK — runbook is primed for the first egress round")
 

@@ -29,3 +29,5 @@ def test_dry_run_green(capsys):
     out = capsys.readouterr().out
     assert "dry run OK" in out
     assert "PASS: .pth load + surgery + oracle compare wired" in out
+    assert "PASS: reference-checkpoint importer round-trips exactly" in out
+    assert "step 4: reference-checkpoint cross-eval" in out

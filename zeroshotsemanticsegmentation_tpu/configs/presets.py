@@ -227,6 +227,10 @@ def run_name(preset: int, cfg: Config, *, name: str | None = None,
         parts.append("ONE_HOT_EMBED_True")
     if cfg.forced_unseen:
         parts.append("FORCED_UNSEEN_True")
+    if cfg.dataset == "context" and cfg.context_classes != 33:
+        # extension field (reference encodes no analog): keep 33-class run
+        # names byte-identical to the reference format, distinguish 59
+        parts.append(f"CONTEXT_CLASSES_{cfg.context_classes}")
     now = now or datetime.datetime.now(ZoneInfo("America/New_York"))
     parts.append(f"TIME_{now.strftime('%Y%m%d-%H%M%S')}")
     return "_".join(parts) + "_"

@@ -141,6 +141,22 @@ def test_tampered_fcn_upscore_rejected():
         szn_params_from_reference_state_dict(sd, init_params(1)[1])
 
 
+def test_trained_upscore_into_fixed_upsample_arch_rejected():
+    """A stage-2-trained seenmask_upscore cannot be represented by an arch
+    with a fixed bilinear upsample (FCN8s) — must refuse, never drop."""
+    _, params_a = init_params(0, drift_upscore=True)
+    sd = reference_state_dict(TorchFCN(params_a))
+    target = {k: v for k, v in init_params(1)[1].items()
+              if k != "seenmask_upscore"}  # FCN8s-shaped: no such param
+    with pytest.raises(ValueError, match="fixed bilinear"):
+        szn_params_from_reference_state_dict(sd, target)
+    # a PRISTINE upscore into the same arch is fine (nothing lost)
+    _, pristine = init_params(0)
+    sd2 = reference_state_dict(TorchFCN(pristine))
+    merged, trained = szn_params_from_reference_state_dict(sd2, target)
+    assert trained is False and "seenmask_upscore" not in merged
+
+
 def test_shape_mismatch_rejected():
     """A checkpoint from a different embed_dim/arch fails with a clear
     message instead of a reshape crash downstream."""

@@ -128,6 +128,16 @@ def szn_params_from_reference_state_dict(
         k = _to_numpy(
             state_dict["seenmask_upscore.weight"])  # (2, 2, 64, 64) IOHW
         hwio = k.transpose(2, 3, 0, 1)
+        if "seenmask_upscore" not in out and not np.array_equal(
+                hwio, bilinear_upsampling_kernel(k.shape[0], k.shape[2])):
+            # target arch upsamples the seenmask with a FIXED bilinear
+            # function (FCN8s) — dropping a stage-2-TRAINED kernel would
+            # silently change the checkpoint's gate outputs
+            raise ValueError(
+                "reference checkpoint carries a stage-2-trained "
+                "`seenmask_upscore` but the target architecture has no such "
+                "parameter (fixed bilinear upsample) — its gate outputs "
+                "cannot be reproduced; import into FCN32s instead")
         if "seenmask_upscore" in out:  # FCN8s keeps a fixed seenmask upsample
             cur = out["seenmask_upscore"]
             if tuple(np.shape(cur["kernel"])) != hwio.shape:

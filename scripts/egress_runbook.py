@@ -115,6 +115,17 @@ python -m zeroshotsemanticsegmentation_tpu.cli.train -c 15 -dir {d} -r <referenc
 # eval-path, not training; expect val/mean_iu bit-close to the reference's
 # own test_all output (tests pin the air-gapped half of this equality).
 
+== step 5: our-checkpoint cross-eval in the REFERENCE (the other direction) ==
+# symmetric to step 4: export THIS framework's trained cfg-14 run in the
+# reference's own torch.save format (models/ref_export.py; optimizer blob
+# included so the reference's unconditional optim.load_state_dict passes),
+# drop it where the reference's -c 15 looks for it, and run ITS eval stack:
+python -m zeroshotsemanticsegmentation_tpu.cli.export <our cfg14 run>/best \\
+    -o <ref data_dir>/logs/<cfg14 ref run name>/best
+cd /root/reference && ./train.py -c 15 -g 0
+# identical weights, the reference's own metrics: with step 4 this closes
+# the attribution square (their-train/our-eval AND our-train/their-eval).
+
 == optional: 59-class PASCAL-Context (extension; not in the reference) ==
 # labels: official full annotations (trainval.tar.gz + labels.txt from the
 # PASCAL-Context site), remapped BY NAME — ordering mismatches fail loudly:
@@ -204,6 +215,29 @@ def dry_run() -> None:
             assert np.array_equal(ck["params"][mod][leaf],
                                   p_src[mod][leaf]), f"{mod}.{leaf}"
     print("   PASS: reference-checkpoint importer round-trips exactly")
+
+    # step-5 rehearsal: OUR params through the exporter -> a file the
+    # reference can resume from (model weights exact, optimizer blob loads
+    # into the reference's exact optimizer construction)
+    from zeroshotsemanticsegmentation_tpu.models.ref_export import (
+        save_reference_checkpoint)
+    with tempfile.NamedTemporaryFile(suffix="") as f:
+        save_reference_checkpoint(f.name, p_src, epoch=5, iteration=50,
+                                  best_mean_iu=0.25, fcn_optim="adam",
+                                  fcn_lr=1e-5)
+        blob = torch.load(f.name, weights_only=True)
+        ck = load_reference_checkpoint(
+            f.name, jax.tree.map(np.asarray, m.init(
+                jax.random.PRNGKey(5), jnp.zeros((1, 64, 64, 3)),
+                mode="both")["params"]))
+    for mod in p_src:
+        for leaf in p_src[mod]:
+            assert np.array_equal(ck["params"][mod][leaf],
+                                  p_src[mod][leaf]), f"export {mod}.{leaf}"
+    groups = blob["optim_state_dict"]["param_groups"]
+    assert [len(g["params"]) for g in groups] == [16, 16], groups
+    print("   PASS: checkpoint exporter round-trips exactly "
+          "(optim blob: 16+16 reference groups)")
 
     # the pieces egress day imports — catch signature/module rot now
     from zeroshotsemanticsegmentation_tpu.cli.train import run_experiment  # noqa: F401

@@ -180,3 +180,46 @@ def test_cli_test_all_from_reference_checkpoint(tmp_path):
     cfg = tiny_cfg(mode="test_all", fcn_epochs=0, load_fcn_path=path)
     out = run_tiny(tmp_path, cfg, log_name="ref_test")
     assert np.isfinite(out["mean_iu"])
+
+
+class _NoReadbackLeaf:
+    """Stand-in for a device-resident param leaf: shape/dtype attributes
+    work, but ANY host materialization (np.asarray / __array__) fails the
+    test — on the axon tunnel a single readback of any size permanently
+    collapses H2D bandwidth (CLAUDE.md trigger 1)."""
+
+    def __init__(self, arr):
+        self._arr = arr
+
+    @property
+    def shape(self):
+        return self._arr.shape
+
+    @property
+    def dtype(self):
+        return self._arr.dtype
+
+    def __array__(self, *a, **k):
+        raise AssertionError("ref_import read a target leaf back to host")
+
+
+def test_import_never_reads_back_target_leaves():
+    """cli/train passes jit-initialized DEVICE params as the merge target;
+    the import must derive dtypes/shapes from attributes only (merged
+    modules) and keep absent-in-dict leaves by reference (never np.asarray
+    them) — regression for the H2D-collapse readback path."""
+    _, params_a = init_params(0, drift_upscore=True)
+    sd = reference_state_dict(TorchFCN(params_a))
+    del sd["fc7.bias"]  # exercise the keep-current-bias path too
+
+    _, host_target = init_params(1)
+    target = {mod: {k: _NoReadbackLeaf(v) for k, v in leaves.items()}
+              for mod, leaves in host_target.items()}
+    merged, upscore_trained = szn_params_from_reference_state_dict(sd, target)
+    assert upscore_trained is True
+    np.testing.assert_array_equal(merged["conv1_1"]["kernel"],
+                                  params_a["conv1_1"]["kernel"])
+    np.testing.assert_array_equal(merged["seenmask_upscore"]["kernel"],
+                                  params_a["seenmask_upscore"]["kernel"])
+    # the leaf absent from the state dict stays the ORIGINAL (device) object
+    assert merged["fc7"]["bias"] is target["fc7"]["bias"]

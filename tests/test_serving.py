@@ -250,3 +250,30 @@ def test_predictor_int8(rng):
     assert flips < 0.08, f"int8 flip rate {flips:.3f}"
     # the int8 forward must still run the pruned support path exactly once
     # (smoke: geometry small enough that pruning may fall back — covered)
+
+
+def test_predictor_fcn8s_unfused_route(rng):
+    """FCN8s has no mode='raw' (its fcn head fuses pool3/4 skips), so the
+    predictor must take the unfused full-res route instead of crashing at
+    trace time — regression for the arch=fcn8s predict path."""
+    from zeroshotsemanticsegmentation_tpu.models import FCN8s
+
+    model = FCN8s(num_classes=8, channel_scale=1 / 16)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x, mode="both")["params"]
+    embed = rng.randn(9, 8).astype(np.float32)
+    embed /= np.linalg.norm(embed, axis=1, keepdims=True)
+    unseen = [2, 5]
+    predict = make_szn_predictor(model, params, embed, unseen)
+    imgs = rng.randn(2, 64, 64, 3).astype(np.float32) * 40
+    got = np.asarray(predict(jnp.asarray(imgs)))
+    f, s = model.apply({"params": params}, jnp.asarray(imgs), mode="both")
+    want = np.asarray(infer_labels_szn(
+        f.astype(jnp.float32), s.astype(jnp.float32), jnp.asarray(embed),
+        jnp.asarray(unseen_mask_vector(9, unseen))))
+    assert got.shape == (2, 64, 64)
+    np.testing.assert_array_equal(got, want)
+    # int8 implements only the raw-heads forward — refuse loudly for FCN8s
+    import pytest
+    with pytest.raises(ValueError, match="int8"):
+        make_szn_predictor(model, params, embed, unseen, int8=True)

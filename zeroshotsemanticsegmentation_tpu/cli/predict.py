@@ -30,6 +30,13 @@ import numpy as np
 _IMG_EXTS = (".jpg", ".jpeg", ".png", ".bmp")
 
 
+class _StdoutLogger:
+    """Minimal logger protocol for _merge_params' partial-load report."""
+
+    def stdout(self, msg: str) -> None:
+        print(msg)
+
+
 def _list_images(path: str) -> list[str]:
     if osp.isfile(path):
         return [path]
@@ -80,10 +87,19 @@ def build_predictor(cfg, checkpoint_path: str, *, int8: bool = False):
         restored = load_reference_checkpoint(checkpoint_path, params)
     else:
         restored = ckpt.restore_checkpoint(checkpoint_path)
-    merged = dict(params)
-    for k, v in restored["params"].items():
-        merged[k] = v
+    # strict=False merge with shape checks + skip report (a checkpoint from
+    # a different embed_dim/arch must fail loudly here, not as an XLA shape
+    # error mid-trace); host leaves so trained-ness stays inspectable
+    from zeroshotsemanticsegmentation_tpu.cli.train import _merge_params
+    merged = _merge_params(params, restored["params"],
+                           logger=_StdoutLogger(), to_device=False)
     upscore_trained = restored.get("upscore_trained")
+    if upscore_trained is None:  # legacy checkpoint without the metadata:
+        # resolve from host values so the printed flag matches the route
+        # the predictor actually takes
+        from zeroshotsemanticsegmentation_tpu.serving import (
+            upscore_trained_numeric)
+        upscore_trained = upscore_trained_numeric(merged)
 
     embeddings = load_class_embeddings(cfg.dataset, cfg.embed_dim,
                                        n_classes=cfg.num_classes)

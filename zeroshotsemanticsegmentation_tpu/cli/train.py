@@ -273,12 +273,15 @@ def run_experiment(cfg, *, preset: int = 0, name: str | None = None,
     return summary
 
 
-def _merge_params(params, loaded, logger=None):
+def _merge_params(params, loaded, logger=None, to_device=True):
     """strict=False load (reference train.py:114): copy matching entries.
 
     Anything NOT copied (missing module/leaf or shape mismatch — e.g. a
     checkpoint from a different embed_dim) is reported through `logger` so a
-    partial load is never silent."""
+    partial load is never silent. `to_device=False` keeps merged leaves as
+    host arrays (callers that still need to inspect values, e.g. the
+    predictor's upscore trained-ness resolution — readbacks collapse H2D on
+    the axon tunnel, CLAUDE.md)."""
     out = jax.tree_util.tree_map(lambda x: x, params)
     skipped = []
     for module, leaves in loaded.items():
@@ -293,7 +296,7 @@ def _merge_params(params, loaded, logger=None):
                     f"{module}/{k} (shape {np.shape(v)} vs "
                     f"{np.shape(out[module][k])})")
             else:
-                out[module][k] = jnp.asarray(v)
+                out[module][k] = jnp.asarray(v) if to_device else v
     if skipped and logger is not None:
         logger.stdout("WARNING: partial checkpoint load; skipped: "
                       + ", ".join(skipped))

@@ -188,6 +188,9 @@ class _SeenmaskUpscore(nn.Module):
 
 
 class FCN32s(nn.Module):
+    # class capability, not a dataclass field: this arch exposes mode="raw"
+    # (pre-upsample 1/32-res heads), which the fused serving kernel consumes
+    RAW_HEADS = True
     """VGG16-layout fully-convolutional net with embedding + seenmask heads.
 
     Attributes:

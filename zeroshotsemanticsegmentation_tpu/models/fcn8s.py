@@ -45,6 +45,11 @@ _CROP_FINAL = 31
 
 
 class FCN8s(nn.Module):
+    # no mode="raw": the fcn head needs pool3/pool4 skip fusion at multiple
+    # resolutions, so there is no single pre-upsample head pair to hand to
+    # the fused serving kernel — serving uses the unfused full-res route
+    RAW_HEADS = False
+
     num_classes: int
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32

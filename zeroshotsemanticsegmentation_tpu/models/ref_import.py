@@ -105,9 +105,13 @@ def szn_params_from_reference_state_dict(
         b = _to_numpy(state_dict[bk]) if bk in state_dict else None
         _check_shapes(name, out[name], w, b)
         cur = out[name]
-        new = {"kernel": w.astype(np.asarray(cur["kernel"]).dtype)}
-        new["bias"] = (b if b is not None else np.asarray(cur["bias"])).astype(
-            np.asarray(cur["bias"]).dtype)
+        # dtype/shape come from ATTRIBUTES only — `cur` leaves may be
+        # device-resident (cli/train passes jit-initialized params), and any
+        # np.asarray on them is a device->host readback, which permanently
+        # collapses H2D bandwidth on the axon tunnel (CLAUDE.md trigger 1)
+        new = {"kernel": w.astype(cur["kernel"].dtype)}
+        new["bias"] = (b.astype(cur["bias"].dtype) if b is not None
+                       else cur["bias"])  # absent in dict: keep, don't copy
         out[name] = new
 
     # FCN upscore: fixed function here; verify the checkpoint didn't train it
@@ -146,7 +150,7 @@ def szn_params_from_reference_state_dict(
                     f"{tuple(np.shape(cur['kernel']))} != import shape "
                     f"{hwio.shape}")
             out["seenmask_upscore"] = {
-                "kernel": hwio.astype(np.asarray(cur["kernel"]).dtype)}
+                "kernel": hwio.astype(cur["kernel"].dtype)}
             upscore_trained = not np.array_equal(
                 hwio, bilinear_upsampling_kernel(k.shape[0], k.shape[2]))
 

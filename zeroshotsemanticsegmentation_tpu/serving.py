@@ -120,6 +120,15 @@ def make_szn_predictor(model, params, embeddings, unseen_classes,
     # 1/32-res heads before the kernel
     kernel_mesh = mesh if (mesh is not None and not spatial) else None
 
+    # archs without pre-upsample heads (FCN8s: the fcn head fuses pool3/4
+    # skips at multiple resolutions) can't feed the fused kernel — serve
+    # them through the unfused full-resolution NNE pipeline instead
+    raw_heads = getattr(model, "RAW_HEADS", True)
+    if int8 and not raw_heads:
+        raise ValueError(
+            "int8 serving implements only the raw-heads (FCN32s) forward "
+            "(models/quantized.py); it is unavailable for this architecture")
+
     # params/embed stay jit *arguments* (closing over them would inline the
     # full weight tree into the HLO as constants)
     @jax.jit
@@ -127,6 +136,14 @@ def make_szn_predictor(model, params, embeddings, unseen_classes,
         from zeroshotsemanticsegmentation_tpu.data.transforms import (
             prepare_images)
         images = prepare_images(images)  # uint8 RGB accepted (compact feed)
+        if not raw_heads:
+            from zeroshotsemanticsegmentation_tpu.ops.nne import (
+                infer_labels_szn)
+            f_full, s_full = model.apply({"params": params}, images,
+                                         mode="both")
+            return infer_labels_szn(f_full.astype(jnp.float32),
+                                    s_full.astype(jnp.float32),
+                                    embed, unseen_vec)
         if int8:
             from zeroshotsemanticsegmentation_tpu.models.quantized import (
                 quantized_raw_forward)

@@ -31,6 +31,24 @@
 namespace {
 
 constexpr double kMeanBGR[3] = {104.00698793, 116.66876762, 122.67891434};
+// dimension sanity bound for decoded rasters: hostile/corrupt headers can
+// claim exabyte-scale dims; anything past ~134 M pixels is not a dataset
+// image and must fail with an error code, not an allocation attempt
+constexpr size_t kMaxPixels = size_t(1) << 27;
+
+// Exceptions must never cross the extern "C" / thread boundary (they would
+// std::terminate the host process mid-epoch). bad_alloc from a corrupt
+// header's resize maps to -6, anything else to -7.
+template <typename F>
+int guarded(F&& f) noexcept {
+  try {
+    return f();
+  } catch (const std::bad_alloc&) {
+    return -6;
+  } catch (...) {
+    return -7;
+  }
+}
 
 struct JpegErr {
   jpeg_error_mgr mgr;
@@ -63,6 +81,11 @@ bool decode_jpeg_rgb(const char* path, std::vector<uint8_t>* out,
   jpeg_start_decompress(&cinfo);
   *h = cinfo.output_height;
   *w = cinfo.output_width;
+  if (*h <= 0 || *w <= 0 || size_t(*h) * *w > kMaxPixels) {
+    jpeg_destroy_decompress(&cinfo);
+    fclose(f);
+    return false;
+  }
   out->resize(size_t(*h) * *w * 3);
   while (cinfo.output_scanline < cinfo.output_height) {
     JSAMPROW row = out->data() + size_t(cinfo.output_scanline) * *w * 3;
@@ -74,19 +97,13 @@ bool decode_jpeg_rgb(const char* path, std::vector<uint8_t>* out,
   return true;
 }
 
-// Decode a (possibly palettized) PNG into 8/16-bit gray; returns false on failure.
-bool decode_png_gray(const char* path, std::vector<uint16_t>* out,
-                     int* h, int* w) {
-  FILE* f = fopen(path, "rb");
-  if (!f) return false;
-  png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr,
-                                           nullptr, nullptr);
-  png_infop info = png_create_info_struct(png);
-  if (setjmp(png_jmpbuf(png))) {
-    png_destroy_read_struct(&png, &info, nullptr);
-    fclose(f);
-    return false;
-  }
+// libpng reports errors by longjmp; keep every setjmp region free of C++
+// objects (locals modified between setjmp and longjmp are indeterminate
+// after the jump — the classic skipped-destructor/stale-vector UB), so the
+// guarded regions below touch only libpng state and caller-owned outputs.
+bool png_header_guarded(png_structp png, png_infop info, FILE* f,
+                        int* h, int* w, size_t* rowbytes) {
+  if (setjmp(png_jmpbuf(png))) return false;
   png_init_io(png, f);
   png_read_info(png, info);
   *w = png_get_image_width(png, info);
@@ -95,27 +112,56 @@ bool decode_png_gray(const char* path, std::vector<uint16_t>* out,
   int depth = png_get_bit_depth(png, info);
   // VOC label PNGs are palette images where the palette INDEX is the class
   // id — read raw indices, do NOT expand to RGB. 16-bit depth unsupported.
-  bool ok = depth <= 8;
+  if (depth > 8) return false;
   if (color == PNG_COLOR_TYPE_PALETTE) {
     if (depth < 8) png_set_packing(png);
   } else if (color == PNG_COLOR_TYPE_GRAY && depth < 8) {
     png_set_expand_gray_1_2_4_to_8(png);
   } else if (color != PNG_COLOR_TYPE_GRAY) {
-    ok = false;
-  }
-  if (!ok) {
-    png_destroy_read_struct(&png, &info, nullptr);
-    fclose(f);
     return false;
   }
   png_read_update_info(png, info);
-  size_t rowbytes = png_get_rowbytes(png, info);
-  std::vector<uint8_t> raw(size_t(*h) * rowbytes);
-  std::vector<png_bytep> rows(*h);
-  for (int y = 0; y < *h; ++y) rows[y] = raw.data() + size_t(y) * rowbytes;
-  png_read_image(png, rows.data());
+  *rowbytes = png_get_rowbytes(png, info);
+  return true;
+}
+
+bool png_image_guarded(png_structp png, png_bytep* rows) {
+  if (setjmp(png_jmpbuf(png))) return false;
+  png_read_image(png, rows);
+  return true;
+}
+
+// Decode a (possibly palettized) PNG into 8/16-bit gray; returns false on failure.
+bool decode_png_gray(const char* path, std::vector<uint16_t>* out,
+                     int* h, int* w) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return false;
+  png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr,
+                                           nullptr, nullptr);
+  if (!png) {
+    fclose(f);
+    return false;
+  }
+  png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_read_struct(&png, nullptr, nullptr);
+    fclose(f);
+    return false;
+  }
+  size_t rowbytes = 0;
+  bool ok = png_header_guarded(png, info, f, h, w, &rowbytes) &&
+            *h > 0 && *w > 0 && size_t(*h) * *w <= kMaxPixels;
+  std::vector<uint8_t> raw;
+  std::vector<png_bytep> rows;
+  if (ok) {
+    raw.resize(size_t(*h) * rowbytes);
+    rows.resize(size_t(*h));
+    for (int y = 0; y < *h; ++y) rows[y] = raw.data() + size_t(y) * rowbytes;
+    ok = png_image_guarded(png, rows.data());
+  }
   png_destroy_read_struct(&png, &info, nullptr);
   fclose(f);
+  if (!ok) return false;
 
   out->resize(size_t(*h) * *w);
   for (int y = 0; y < *h; ++y) {
@@ -183,6 +229,9 @@ bool parse_numeric_matrix(Cursor body, std::vector<int32_t>* out,
       bytes != 8)
     return false;  // dims (2-D only)
   int rows = int(rd32(data)), cols = int(rd32(data + 4));
+  // corrupt dims must fail here, not as an exabyte resize
+  if (rows <= 0 || cols <= 0 || size_t(rows) * size_t(cols) > kMaxPixels)
+    return false;
   if (!next_element(&body, &type, &bytes, &data)) return false;  // name
   if (!next_element(&body, &type, &bytes, &data)) return false;  // real part
   size_t count = size_t(rows) * cols;
@@ -404,14 +453,18 @@ extern "C" {
 
 int zss_decode_image(const char* path, float* out, int bucket_h, int bucket_w,
                      int* size_hw) {
-  return decode_image_impl(path, out, bucket_h, bucket_w, size_hw);
+  return guarded([&] {
+    return decode_image_impl(path, out, bucket_h, bucket_w, size_hw);
+  });
 }
 
 int zss_decode_label(const char* path, int32_t* out, int bucket_h,
                      int bucket_w, int value_offset, int map255_to_ignore,
                      int* size_hw) {
-  return decode_label_impl(path, out, bucket_h, bucket_w, value_offset,
-                           map255_to_ignore, size_hw);
+  return guarded([&] {
+    return decode_label_impl(path, out, bucket_h, bucket_w, value_offset,
+                             map255_to_ignore, size_hw);
+  });
 }
 
 // Decode a whole batch in parallel. images/labels are contiguous
@@ -459,15 +512,18 @@ int zss_load_batch_compact(const char** image_paths, const char** label_paths,
   std::atomic_int next_idx{0};
   auto worker = [&]() {
     for (int i = next_idx.fetch_add(1); i < n; i = next_idx.fetch_add(1)) {
-      int rc = decode_image_u8_impl(
-          image_paths[i], images + size_t(i) * bucket_h * bucket_w * 3,
-          bucket_h, bucket_w, sizes + 2 * i);
-      if (rc == 0 && label_paths && label_paths[i]) {
-        rc = decode_label_i8_impl(
-            label_paths[i], labels + size_t(i) * bucket_h * bucket_w,
-            bucket_h, bucket_w, value_offset, map255_to_ignore, nullptr);
-      }
-      status[i] = rc;
+      // guarded: an exception escaping a std::thread terminates the process
+      status[i] = guarded([&] {
+        int rc = decode_image_u8_impl(
+            image_paths[i], images + size_t(i) * bucket_h * bucket_w * 3,
+            bucket_h, bucket_w, sizes + 2 * i);
+        if (rc == 0 && label_paths && label_paths[i]) {
+          rc = decode_label_i8_impl(
+              label_paths[i], labels + size_t(i) * bucket_h * bucket_w,
+              bucket_h, bucket_w, value_offset, map255_to_ignore, nullptr);
+        }
+        return rc;
+      });
     }
   };
   int threads = std::min(num_threads, n);

@@ -360,3 +360,99 @@ def test_compact_feed_matches_host_transform(rng):
     if batch["num_real"] < 2:
         assert np.all(img_np[-1] == 0.0)
         assert np.all(batch["label"][-1] == -1)
+
+
+def test_batch_loader_compact_python_int8_guard():
+    """Python compact path must refuse labels that don't survive int8
+    narrowing (wrapped ids would silently become ignore/-wrong-class) —
+    mirrors the native path's rc -5."""
+    from zeroshotsemanticsegmentation_tpu.data import BatchLoader
+    from zeroshotsemanticsegmentation_tpu.data.pipeline import SyntheticDataset
+    ds = SyntheticDataset(4, num_classes=200, size_range=(24, 32))
+    loader = BatchLoader(ds, 2, bucket_hw=(32, 32), compact=True)
+    with pytest.raises(ValueError, match="int8"):
+        next(iter(loader))
+
+
+def test_batch_loader_mixed_compact_same_dataset_refused():
+    """Two Python-path loaders with different compact settings over ONE
+    dataset instance would corrupt each other's sample format (raw uint8
+    cast into float32 batches skips normalization) — must refuse."""
+    from zeroshotsemanticsegmentation_tpu.data import BatchLoader
+    from zeroshotsemanticsegmentation_tpu.data.pipeline import SyntheticDataset
+    ds = SyntheticDataset(4, size_range=(24, 32))
+    BatchLoader(ds, 2, bucket_hw=(32, 32), compact=True)
+    with pytest.raises(ValueError, match="compact"):
+        BatchLoader(ds, 2, bucket_hw=(32, 32), compact=False)
+    BatchLoader(ds, 2, bucket_hw=(32, 32), compact=True)  # same mode: fine
+
+
+def test_batch_loader_use_native_unsupported_dataset_raises():
+    """Explicit use_native=True on a dataset with no native decode support
+    must raise, not silently run the Python path."""
+    from zeroshotsemanticsegmentation_tpu.data import BatchLoader
+    from zeroshotsemanticsegmentation_tpu.data.pipeline import SyntheticDataset
+    with pytest.raises(RuntimeError, match="native"):
+        BatchLoader(SyntheticDataset(4), 2, use_native=True)
+
+
+def test_batch_loader_abandoned_iterator_stops_producer():
+    """Abandoning iteration mid-epoch (step raised / KeyboardInterrupt) must
+    release the producer thread: it parks in a bounded put() that observes
+    the stop event, instead of blocking forever on the full queue."""
+    import threading
+    import time
+    from zeroshotsemanticsegmentation_tpu.data import BatchLoader
+    from zeroshotsemanticsegmentation_tpu.data.pipeline import SyntheticDataset
+    ds = SyntheticDataset(64, size_range=(24, 32))
+    loader = BatchLoader(ds, 2, bucket_hw=(32, 32), prefetch=1)
+    before = {t.ident for t in threading.enumerate()}
+    it = iter(loader)
+    next(it)
+    it.close()  # generator finally -> stop.set()
+    deadline = time.time() + 5.0
+    while time.time() < deadline:
+        extra = [t for t in threading.enumerate()
+                 if t.ident not in before and t.is_alive()]
+        if not extra:
+            break
+        time.sleep(0.05)
+    assert not extra, f"producer thread(s) leaked: {extra}"
+
+
+def test_presence_cache_corrupt_file_recovers(pascal_tree):
+    """A truncated/corrupt presence cache (killed writer) must be recomputed,
+    not crash every later dataset construction."""
+    import os.path as osp
+    data_dir, assets_dir = pascal_tree
+    ds = PascalVOC("train", data_dir=data_dir, assets_dir=assets_dir,
+                   val_unseen=[13])
+    cache = osp.join(data_dir, "cache", "pascal_train_presence.npz")
+    assert osp.exists(cache)
+    with open(cache, "wb") as f:
+        f.write(b"garbage, not a zip")
+    ds2 = PascalVOC("train", data_dir=data_dir, assets_dir=assets_dir,
+                    val_unseen=[13])
+    assert ds2.ids == ds.ids
+    # and the recompute republished a valid cache
+    ds3 = PascalVOC("train", data_dir=data_dir, assets_dir=assets_dir,
+                    val_unseen=[13])
+    assert ds3.ids == ds.ids
+
+
+def test_presence_scan_skipped_when_nothing_to_filter(pascal_tree, monkeypatch):
+    """pascal val (no drop rules) must not decode every label at construction
+    — the reference's cold-start hot spot (pascal_dataset.py:62-84)."""
+    data_dir, assets_dir = pascal_tree
+    calls = []
+    orig = PascalVOC._load_label
+    monkeypatch.setattr(PascalVOC, "_load_label",
+                        lambda self, did: calls.append(did) or orig(self, did))
+    ds = PascalVOC("val", data_dir=data_dir, assets_dir=assets_dir,
+                   use_presence_cache=False)
+    assert calls == []  # construction touched no labels
+    assert len(ds) > 0
+    # splits WITH drop rules still scan (fresh tree, no cache)
+    PascalVOC("train_seen", data_dir=data_dir, assets_dir=assets_dir,
+              train_unseen=[1], val_unseen=[13], use_presence_cache=False)
+    assert len(calls) > 0

@@ -171,3 +171,44 @@ def test_batch_loader_native_compact_roundtrip(tmp_path, rng):
             {k: jnp.asarray(v) for k, v in a.items() if k != "ids"})
         np.testing.assert_allclose(np.asarray(imgs), b["image"], atol=1e-4)
         np.testing.assert_array_equal(np.asarray(lbls), b["label"])
+
+
+def test_corrupt_inputs_return_error_codes(tmp_path, fixtures):
+    """Hostile/corrupt files must surface as IOError (negative rc), never as
+    a C++ exception crossing the ctypes boundary (std::terminate) or a
+    libpng longjmp leak — regression for the guarded entry points."""
+    nl = NativeLoader.get()
+    # truncated PNG (valid magic, garbage body)
+    bad_png = tmp_path / "bad.png"
+    bad_png.write_bytes(b"\x89PNG\r\n\x1a\n" + b"\x00" * 40)
+    with pytest.raises(IOError):
+        nl.decode_label(str(bad_png), (64, 64))
+    # MAT5 header claiming exabyte dims: the bounded parser rejects it
+    bad_mat = tmp_path / "bad.mat"
+    header = b"MATLAB 5.0 MAT-file" + b" " * (124 - 19) + b"\x00\x01" + b"IM"
+    body = b"\xff" * 64  # garbage elements
+    bad_mat.write_bytes(header + body)
+    with pytest.raises(IOError):
+        nl.decode_label(str(bad_mat), (64, 64))
+    # truncated JPEG
+    img_path, _, _ = fixtures
+    data = open(img_path, "rb").read()
+    bad_jpg = tmp_path / "bad.jpg"
+    bad_jpg.write_bytes(data[: len(data) // 4])
+    # libjpeg may recover a partial image or fail — either way, no crash
+    try:
+        nl.decode_image(str(bad_jpg), (64, 64))
+    except IOError:
+        pass
+    # batch with one bad file: error code propagates, process survives
+    with pytest.raises(IOError):
+        nl.load_batch([img_path], [str(bad_png)], (64, 64))
+
+
+def test_load_batch_label_length_mismatch(fixtures):
+    """A short label_paths list must raise, not silently NULL-pad (which the
+    C worker treats as 'no label' -> all-ignore samples)."""
+    img_path, lbl_path, _ = fixtures
+    nl = NativeLoader.get()
+    with pytest.raises(ValueError, match="label_paths"):
+        nl.load_batch([img_path, img_path], [lbl_path], (64, 64))

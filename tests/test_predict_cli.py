@@ -75,3 +75,22 @@ def test_predict_rejects_oversized_image(trained_run, tmp_path):
         run_predict(cfg, checkpoint=osp.join(log_dir, "best"),
                     images=str(imgs), out_dir=str(tmp_path / "o"),
                     verbose=False)
+
+
+def test_predict_fcn8s_end_to_end(tmp_path):
+    """--arch fcn8s drives the predictor's unfused full-res route (FCN8s has
+    no mode='raw' for the fused kernel) from a trained fcn8s checkpoint."""
+    cfg = tiny_cfg(fcn_epochs=1, seenmask_epochs=1, arch="fcn8s")
+    out = run_tiny(tmp_path, cfg, log_name="train8s")
+
+    imgs = tmp_path / "imgs"
+    _write_images(imgs, [(64, 64), (40, 48)])
+    preds = tmp_path / "preds"
+    written = run_predict(cfg, checkpoint=osp.join(out["log_dir"], "best"),
+                          images=str(imgs), out_dir=str(preds),
+                          batch_size=2, verbose=False)
+    assert len(written) == 2
+    p0 = np.asarray(PIL.Image.open(preds / "img0_pred.png"))
+    p1 = np.asarray(PIL.Image.open(preds / "img1_pred.png"))
+    assert p0.shape == (64, 64) and p1.shape == (40, 48)
+    assert p0.max() < cfg.num_classes and p1.max() < cfg.num_classes

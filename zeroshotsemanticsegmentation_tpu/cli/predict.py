@@ -176,6 +176,9 @@ def main(argv=None):
     p.add_argument("--bucket", type=int, default=None,
                    help="static HxW bucket (default: preset's)")
     p.add_argument("--context_classes", type=int, choices=[33, 59])
+    p.add_argument("--arch", type=str, choices=["fcn32s", "fcn8s"],
+                   help="model architecture (default: preset's; must match "
+                        "the checkpoint)")
     p.add_argument("--viz", action="store_true",
                    help="also write color overlays")
     p.add_argument("--int8", action="store_true",
@@ -187,6 +190,8 @@ def main(argv=None):
         overrides["bucket"] = (args.bucket, args.bucket)
     if args.context_classes is not None:
         overrides["context_classes"] = args.context_classes
+    if args.arch is not None:
+        overrides["arch"] = args.arch
     cfg = get_config(args.config, **overrides)
     written = run_predict(cfg, checkpoint=args.checkpoint, images=args.images,
                           out_dir=args.out, batch_size=args.batch_size,

@@ -48,9 +48,15 @@ class SegDatasetBase:
         from zeroshotsemanticsegmentation_tpu.data.assets import load_split_ids
         all_ids = load_split_ids(self.dataset_name, split,
                                  assets_dir=assets_dir)
-        presence = self._presence_matrix(all_ids, use_presence_cache)
-        keep = self._keep_mask(presence)
-        self.ids = [d for d, k in zip(all_ids, keep) if k]
+        if self._needs_presence():
+            presence = self._presence_matrix(all_ids, use_presence_cache)
+            keep = self._keep_mask(presence)
+            self.ids = [d for d, k in zip(all_ids, keep) if k]
+        else:
+            # nothing to filter (e.g. pascal val): skip the full label scan —
+            # decoding every label here is exactly the reference cold-start
+            # hot spot this cache exists to avoid (pascal_dataset.py:62-84)
+            self.ids = list(all_ids)
 
     # -- filtering ---------------------------------------------------------
 
@@ -61,6 +67,12 @@ class SegDatasetBase:
         if self.split == "train_seen":
             return self.train_unseen + self.val_unseen
         return []
+
+    def _needs_presence(self) -> bool:
+        """Whether `_keep_mask` will actually read the presence matrix;
+        subclasses with split-independent drop rules (context's invalid-pixel
+        rule) override."""
+        return bool(self._drop_classes())
 
     def _keep_mask(self, presence: np.ndarray) -> np.ndarray:
         drop = self._drop_classes()
@@ -81,9 +93,12 @@ class SegDatasetBase:
         cache_path = osp.join(self.data_dir, "cache",
                               f"{self._cache_key()}_{self.split}_presence.npz")
         if use_cache and osp.exists(cache_path):
-            with np.load(cache_path, allow_pickle=False) as z:
-                if list(z["ids"]) == ids:
-                    return z["presence"]
+            try:
+                with np.load(cache_path, allow_pickle=False) as z:
+                    if list(z["ids"]) == ids:
+                        return z["presence"]
+            except Exception:
+                pass  # corrupt/truncated cache (killed writer): recompute
         presence = np.zeros((len(ids), 1 + n_class), dtype=bool)
         for i, did in enumerate(ids):
             lbl = self._load_label(did)
@@ -92,8 +107,11 @@ class SegDatasetBase:
             presence[i, u + 1] = True
         if use_cache:
             os.makedirs(osp.dirname(cache_path), exist_ok=True)
-            np.savez_compressed(cache_path, ids=np.asarray(ids),
-                                presence=presence)
+            # atomic publish: a crash mid-write (or a concurrent writer) must
+            # never leave a truncated .npz that poisons every later startup
+            tmp = f"{cache_path}.{os.getpid()}.tmp.npz"  # savez appends .npz
+            np.savez_compressed(tmp, ids=np.asarray(ids), presence=presence)
+            os.replace(tmp, cache_path)
         return presence
 
     # -- to be provided by subclasses --------------------------------------

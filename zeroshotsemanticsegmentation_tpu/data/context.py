@@ -42,6 +42,11 @@ class PascalContext(SegDatasetBase):
         return "context" if self.n_classes == 33 else \
             f"context{self.n_classes}"
 
+    def _needs_presence(self) -> bool:
+        # the 33-class protocol drops invalid-pixel images in EVERY split
+        # (context_dataset.py:85-93), so val needs the presence matrix too
+        return self.n_classes == 33 or super()._needs_presence()
+
     def _keep_mask(self, presence):
         keep = super()._keep_mask(presence)
         if self.n_classes == 33:

@@ -30,7 +30,18 @@ def _fetch_and_untar(url: str, dest_dir: str, marker: str) -> None:
     archive = osp.join(dest_dir, osp.basename(url))
     urllib.request.urlretrieve(url, archive)
     with tarfile.open(archive) as tar:
-        tar.extractall(dest_dir)
+        try:
+            # refuse path traversal (../ or absolute members) — two of these
+            # mirrors are plain http; Python 3.12+ ships the 'data' filter
+            tar.extractall(dest_dir, filter="data")
+        except TypeError:  # older Python: vet member paths ourselves
+            base = osp.realpath(dest_dir)
+            for m in tar.getmembers():
+                target = osp.realpath(osp.join(dest_dir, m.name))
+                if not (target == base or target.startswith(base + os.sep)):
+                    raise RuntimeError(
+                        f"archive member escapes dest_dir: {m.name!r}")
+            tar.extractall(dest_dir)
     os.remove(archive)
 
 

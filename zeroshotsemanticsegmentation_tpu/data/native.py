@@ -108,6 +108,11 @@ class NativeLoader:
         """compact=True: uint8 RGB images + int8 labels (device-side
         normalization, 4x fewer feed bytes)."""
         n = len(image_paths)
+        if len(label_paths) != n:
+            # a shorter list would silently pad the ctypes array with NULLs,
+            # which the C worker treats as "no label" → all-ignore samples
+            raise ValueError(f"label_paths has {len(label_paths)} entries "
+                             f"for {n} images")
         bh, bw = bucket_hw
         sizes = np.zeros((n, 2), np.int32)
         img_arr = (ctypes.c_char_p * n)(*[p.encode() for p in image_paths])

@@ -49,11 +49,14 @@ class BatchLoader:
         # Labels fit int8 (ids < 128 always; -1 = ignore). Both decode paths
         # support it (zss_load_batch_compact natively).
         self.compact = compact
-        if compact:
-            dataset.raw_images = True
         # native C++ decode path (libzss_loader): auto-enabled when the
         # library is built and the dataset's labels are PNG-decodable
         self._native = None
+        if use_native and not hasattr(dataset, "native_label_kwargs"):
+            raise RuntimeError(
+                f"use_native=True but dataset "
+                f"{type(dataset).__name__} has no native decode support "
+                "(no native_label_kwargs)")
         if (use_native is not False
                 and hasattr(dataset, "native_label_kwargs")):
             kwargs = dataset.native_label_kwargs()
@@ -71,6 +74,23 @@ class BatchLoader:
                 raise RuntimeError(
                     f"use_native=True but dataset split "
                     f"{getattr(dataset, 'split', '?')!r} has non-PNG labels")
+        if self._native is None:
+            # Python decode path: the sample format is a property of the
+            # DATASET instance (its __getitem__ branches on raw_images), so
+            # two Python-path loaders with different compact settings over
+            # one dataset would silently corrupt each other's feed (raw
+            # uint8 RGB cast into a float32 batch skips normalization
+            # entirely) — refuse instead. Native-path loaders never call
+            # __getitem__ and are exempt.
+            prev = getattr(dataset, "_batchloader_compact", None)
+            if prev is not None and prev != compact:
+                raise ValueError(
+                    f"dataset instance already driven by a BatchLoader("
+                    f"compact={prev}); compact={compact} would change its "
+                    "sample format under that loader — use separate dataset "
+                    "instances")
+            dataset.raw_images = compact
+            dataset._batchloader_compact = compact
 
     def set_epoch(self, epoch: int) -> None:
         """Reseeds the shuffle (deterministic per epoch)."""
@@ -99,6 +119,15 @@ class BatchLoader:
         ids = [""] * b
         for i, s in enumerate(samples):
             img, lbl = pad_to_bucket(s["image"], s["label"], self.bucket_hw)
+            if self.compact and lbl.size and (
+                    lbl.max() > 127 or lbl.min() < -1):
+                # int8 narrowing must be value-preserving (ids < 128,
+                # ignore = -1) — wrapped values would silently become
+                # ignore/-wrong-class pixels; the native path rejects this
+                # with rc -5 (zss_loader.cc), mirror it here
+                raise ValueError(
+                    f"sample {s['id']!r}: label range [{lbl.min()}, "
+                    f"{lbl.max()}] does not fit the compact int8 feed")
             image[i], label[i] = img, lbl
             sizes[i] = s["size"]
             ids[i] = s["id"]
@@ -136,6 +165,20 @@ class BatchLoader:
         out: queue.Queue = queue.Queue(maxsize=max(1, self.prefetch))
         stop = threading.Event()
 
+        def _put(item) -> bool:
+            # bounded put that observes stop: a consumer that abandons
+            # iteration (step raised, KeyboardInterrupt) sets stop from its
+            # finally, and a producer parked in a blocking put() on the full
+            # queue would otherwise never see it — leaking the thread, its
+            # pool, and prefetch+1 batches per abandoned iterator
+            while not stop.is_set():
+                try:
+                    out.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
             # any decode error must reach the consumer — a dead producer
             # with no sentinel would deadlock the training loop
@@ -145,7 +188,9 @@ class BatchLoader:
                     for chunk in chunks:
                         if stop.is_set():
                             return
-                        out.put(self._assemble_native(loader, kwargs, chunk))
+                        if not _put(self._assemble_native(
+                                loader, kwargs, chunk)):
+                            return
                 else:
                     with ThreadPoolExecutor(
                             max_workers=self.num_threads) as pool:
@@ -154,11 +199,12 @@ class BatchLoader:
                                 return
                             samples = list(pool.map(self.dataset.__getitem__,
                                                     chunk))
-                            out.put(self._assemble(samples))
+                            if not _put(self._assemble(samples)):
+                                return
             except BaseException as e:  # noqa: BLE001 — re-raised by consumer
-                out.put(e)
+                _put(e)
                 return
-            out.put(None)
+            _put(None)
 
         worker = threading.Thread(target=produce, daemon=True)
         worker.start()

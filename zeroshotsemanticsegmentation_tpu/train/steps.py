@@ -119,7 +119,8 @@ def _fcn_infer(score, label, embeddings, *, forced_unseen, all_unseen_vec):
 def make_fcn_train_step(model, tx, *, loss_name: str, num_classes: int,
                         embeddings=None, target_embeddings=None,
                         forced_unseen: bool = False, all_unseen_vec=None,
-                        chunked_loss: bool = False, grad_accum: int = 1):
+                        chunked_loss: bool = False, grad_accum: int = 1,
+                        fused_tail: bool | None = None):
     """Stage-1 train step: returns (new_state, aux dict of scalars + hist).
 
     `embeddings` drives NNE inference; `target_embeddings` (defaults to the
@@ -153,6 +154,26 @@ def make_fcn_train_step(model, tx, *, loss_name: str, num_classes: int,
 
     from zeroshotsemanticsegmentation_tpu.ops.bilinear import (
         upsample_bilinear_cropped)
+    from zeroshotsemanticsegmentation_tpu.ops.costail_fused import (
+        fused_cos_tail, fused_tail_enabled)
+
+    # Fused loss+infer+hist tail (ops/costail_fused.py): one Pallas pass
+    # over the full-res score replaces the target-select / normalize /
+    # reduce / NNE-infer / confusion-hist chain and its backward. Exact up
+    # to fp32 accumulation order (oracle-tested); only the plain cos + NNE
+    # configuration qualifies — every other mode keeps the XLA definition.
+    # `fused_tail`: None = SZN_FUSED_TAIL policy (auto: on TPU backend);
+    # callers running this step under a GSPMD mesh must pass False — pjit
+    # cannot partition the pallas_call (same gate as cli.train's
+    # fused_block1 handling, cli/train.py:131-135).
+    if fused_tail is None:
+        fused_tail = fused_tail_enabled()
+    use_fused_tail = (
+        fused_tail
+        and loss_name == "cos" and embeddings is not None
+        and not forced_unseen and not chunked_loss
+        and embeddings.shape[0] == num_classes
+        and target_embeddings.shape[0] == num_classes)
 
     @jax.jit
     def train_step(state, batch, dropout_key):
@@ -189,6 +210,18 @@ def make_fcn_train_step(model, tx, *, loss_name: str, num_classes: int,
                     losses, ssums, hists = jax.lax.map(one, (f_small, label))
                     loss = jnp.sum(losses) / denom
                     return loss, (jnp.sum(ssums), jnp.sum(hists, axis=0))
+
+                (loss, (score_sum, hist)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(state.params)
+            elif use_fused_tail:
+                def loss_fn(params):
+                    score = model.apply({"params": params}, image,
+                                        train=True, mode="fcn",
+                                        rngs={"dropout": key})
+                    losses, hist, ssum = fused_cos_tail(
+                        score, label, target_embeddings, embeddings,
+                        num_classes)
+                    return jnp.sum(losses) / denom, (ssum, hist)
 
                 (loss, (score_sum, hist)), grads = jax.value_and_grad(
                     loss_fn, has_aux=True)(state.params)

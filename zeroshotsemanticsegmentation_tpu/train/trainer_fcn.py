@@ -298,7 +298,10 @@ class FCNTrainer:
                   all_unseen_vec=all_unseen_vec)
         self._train_step = make_fcn_train_step(
             model, tx, chunked_loss=getattr(cfg, "chunked_loss", False),
-            grad_accum=getattr(cfg, "grad_accum", 1), **kw)
+            grad_accum=getattr(cfg, "grad_accum", 1),
+            # GSPMD can't partition the fused-tail pallas_call; mesh runs
+            # keep the XLA tail (single-chip TPU follows SZN_FUSED_TAIL)
+            fused_tail=False if mesh is not None else None, **kw)
         # fused eval = the serving inference kernel inside validation; "auto"
         # enables it on real TPU runs, single-chip or mesh (the kernel is
         # shard_mapped over the 'data' axis — ops/szn_fused._fused_call);

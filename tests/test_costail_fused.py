@@ -153,3 +153,39 @@ def test_train_step_equivalence(rng):
     flat1 = jax.tree_util.tree_leaves(s1.params)
     for x0, x1 in zip(flat0, flat1):
         np.testing.assert_allclose(x1, x0, rtol=1e-4, atol=1e-6)
+
+
+def test_mesh_shard_map_matches_single(rng):
+    """fused_cos_tail(mesh=...) — the kernel shard_mapped per data shard
+    with psum'd hist/score_sum — matches the un-mapped kernel in values AND
+    grads (GSPMD cannot partition a pallas_call; this is the mesh route the
+    train step takes, train/steps.py make_fcn_train_step)."""
+    from zeroshotsemanticsegmentation_tpu.parallel.mesh import make_mesh
+    c, n = 12, 7
+    score, label, temb, iemb = _data(rng, 8, 9, 11, c, n, zero_row=True,
+                                     zero_pixels=True)
+    mesh = make_mesh(4, 2)  # batch shards over 'data' only
+
+    def tot(s, mesh):
+        losses, hist, ssum = fused_cos_tail(s, label, temb, iemb, n,
+                                            tile=256, mesh=mesh)
+        # losses AND score_sum both carry gradients in the train step
+        return jnp.sum(losses) + 0.01 * ssum, (losses, hist, ssum)
+
+    (_, (rl, rh, rs)), rg = jax.value_and_grad(
+        lambda s: tot(s, None), has_aux=True)(score)
+    (_, (ml, mh, ms)), mg = jax.value_and_grad(
+        lambda s: tot(s, mesh), has_aux=True)(score)
+    np.testing.assert_allclose(np.asarray(ml), np.asarray(rl),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(mh), np.asarray(rh))
+    np.testing.assert_allclose(float(ms), float(rs), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(mg), np.asarray(rg),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_mesh_batch_not_divisible_raises(rng):
+    from zeroshotsemanticsegmentation_tpu.parallel.mesh import make_mesh
+    score, label, temb, iemb = _data(rng, 3, 8, 8, 6, 5)
+    with pytest.raises(ValueError, match="not divisible"):
+        fused_cos_tail(score, label, temb, iemb, 5, mesh=make_mesh(4, 2))

@@ -198,3 +198,35 @@ def test_run_experiment_end_to_end_on_mesh(tmp_path):
     tr = pd.read_csv(str(tmp_path / "mesh2" / "train_log.csv"))
     assert set(tr["epoch"]) == set(range(start, 3))
     assert np.isfinite(out2["best_mean_iu"])
+
+
+def test_fused_tail_mesh_step_matches_single(rng):
+    """The fused cos-tail engages under a GSPMD mesh via shard_map
+    (steps.make_fcn_train_step(..., mesh=...)): the sharded fused-tail step
+    must reproduce the single-device XLA-tail step's numbers — same
+    tolerance family as test_dp_tp_matches_single_device, plus the near-tie
+    histogram allowance of test_costail_fused.test_train_step_equivalence."""
+    model, params, batch, embed = build(rng)
+    ref_state, ref_aux = run_steps(model, params, batch, embed, mesh=None)
+    mesh = make_mesh(4, 2)
+    tx = make_fcn_optimizer(params, optim="adam", lr=1e-3)
+    sp = shard_params(params, mesh)
+    sb = shard_batch({k: np.asarray(v) for k, v in batch.items()}, mesh)
+    state = TrainState(params=sp, opt_state=jax.jit(tx.init)(sp),
+                       step=jnp.zeros((), jnp.int32))
+    step = make_fcn_train_step(model, tx, loss_name="cos", num_classes=8,
+                               embeddings=embed, fused_tail=True, mesh=mesh)
+    key = jax.random.PRNGKey(42)
+    for _ in range(2):
+        state, aux = step(state, sb, key)
+    np.testing.assert_allclose(float(ref_aux["loss"]), float(aux["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(ref_aux["score_sum"]),
+                               float(aux["score_sum"]), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(ref_state.params),
+                    jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=1e-4)
+    h0, h1 = np.asarray(ref_aux["hist"]), np.asarray(aux["hist"])
+    np.testing.assert_array_equal(h1.sum(axis=1), h0.sum(axis=1))
+    assert np.abs(h1 - h0).sum() <= max(16, 0.005 * h0.sum())

@@ -257,7 +257,7 @@ _cos_tail.defvjp(_cos_tail_fwd, _cos_tail_bwd)
 
 def fused_cos_tail(score, label, target_embeddings, infer_embeddings,
                    num_classes: int, *, tile: int = DEFAULT_TILE,
-                   interpret: bool | None = None):
+                   interpret: bool | None = None, mesh=None):
     """(per-sample cosine losses (B,), confusion hist (n, n) int32,
     score_sum scalar f32) from an NHWC score volume in one fused pass.
 
@@ -268,6 +268,16 @@ def fused_cos_tail(score, label, target_embeddings, infer_embeddings,
       losses    == jax.vmap(lambda s, l: cosine_loss(s[None], l[None], E[l]))
       hist      == confusion_matrix(label, infer_labels(score, iemb), n)
       score_sum == jnp.sum(score.astype(f32))
+
+    `mesh`: GSPMD cannot partition a pallas_call body, so under a mesh the
+    un-mapped kernel would run on fully regathered inputs on every device.
+    Like the serving kernel (ops/szn_fused._fused_call), the tail instead
+    shard_maps over the batch-sharding axes: each device runs the
+    single-chip kernel on its local batch slice (embeddings replicated),
+    then the batch-summed outputs (hist, score_sum) psum over those axes
+    while the per-sample losses stay batch-sharded. Autodiff composes —
+    the custom_vjp backward also runs per shard, no collectives needed
+    (per-sample losses only touch local samples).
     """
     b, h, w, c = score.shape
     if num_classes != target_embeddings.shape[0] or \
@@ -282,13 +292,38 @@ def fused_cos_tail(score, label, target_embeddings, infer_embeddings,
     tembT_n = _normalize_rows(jnp.asarray(target_embeddings)).T  # (C, K)
     iemb_n = _normalize_rows(jnp.asarray(infer_embeddings))      # (K, C)
     hw = h * w
-    # NCHW for the kernel (pixels on lanes); XLA fuses this transpose with
-    # the upsample producer / backward consumer where possible
-    scoreT = jnp.transpose(score.reshape(b, hw, c), (0, 2, 1))
-    label8 = jnp.clip(label.reshape(b, 1, hw), -1, 127).astype(jnp.int8)
-    losses, hist, ssum = _cos_tail(scoreT, label8, tembT_n, iemb_n,
-                                   num_classes, tile, bool(interpret))
-    return losses, hist, ssum
+
+    def local(score, label, tembT_n, iemb_n):
+        lb = score.shape[0]
+        # NCHW for the kernel (pixels on lanes); XLA fuses this transpose
+        # with the upsample producer / backward consumer where possible
+        scoreT = jnp.transpose(score.reshape(lb, hw, c), (0, 2, 1))
+        label8 = jnp.clip(label.reshape(lb, 1, hw), -1, 127).astype(jnp.int8)
+        return _cos_tail(scoreT, label8, tembT_n, iemb_n,
+                         num_classes, tile, bool(interpret))
+
+    if mesh is None or (mesh.shape.get("data", 1)
+                        * mesh.shape.get("slice", 1)) == 1:
+        return local(score, label, tembT_n, iemb_n)
+
+    from jax.sharding import PartitionSpec as P
+    from zeroshotsemanticsegmentation_tpu.parallel.mesh import data_axes
+    axes = data_axes(mesh)
+    n_shards = int(np.prod([mesh.shape[a] for a in axes]))
+    if b % n_shards:
+        raise ValueError(
+            f"fused_cos_tail: batch {b} not divisible by the mesh's "
+            f"{n_shards} batch shards {axes}")
+
+    def fn(score, label, tembT_n, iemb_n):
+        losses, hist, ssum = local(score, label, tembT_n, iemb_n)
+        return (losses, jax.lax.psum(hist, axes), jax.lax.psum(ssum, axes))
+
+    bspec = P(axes)
+    return jax.shard_map(fn, mesh=mesh,
+                         in_specs=(bspec, bspec, P(), P()),
+                         out_specs=(bspec, P(), P()), check_vma=False)(
+        score, label, tembT_n, iemb_n)
 
 
 def fused_tail_enabled() -> bool:

@@ -120,7 +120,7 @@ def make_fcn_train_step(model, tx, *, loss_name: str, num_classes: int,
                         embeddings=None, target_embeddings=None,
                         forced_unseen: bool = False, all_unseen_vec=None,
                         chunked_loss: bool = False, grad_accum: int = 1,
-                        fused_tail: bool | None = None):
+                        fused_tail: bool | None = None, mesh=None):
     """Stage-1 train step: returns (new_state, aux dict of scalars + hist).
 
     `embeddings` drives NNE inference; `target_embeddings` (defaults to the
@@ -162,10 +162,10 @@ def make_fcn_train_step(model, tx, *, loss_name: str, num_classes: int,
     # reduce / NNE-infer / confusion-hist chain and its backward. Exact up
     # to fp32 accumulation order (oracle-tested); only the plain cos + NNE
     # configuration qualifies — every other mode keeps the XLA definition.
-    # `fused_tail`: None = SZN_FUSED_TAIL policy (auto: on TPU backend);
-    # callers running this step under a GSPMD mesh must pass False — pjit
-    # cannot partition the pallas_call (same gate as cli.train's
-    # fused_block1 handling, cli/train.py:131-135).
+    # `fused_tail`: None = SZN_FUSED_TAIL policy (auto: on TPU backend).
+    # Under a GSPMD mesh pass `mesh` — the kernel shard_maps over the
+    # batch axes per data shard (ops/costail_fused.fused_cos_tail), the
+    # same composition the serving kernel uses (szn_fused._fused_call).
     if fused_tail is None:
         fused_tail = fused_tail_enabled()
     use_fused_tail = (
@@ -220,7 +220,7 @@ def make_fcn_train_step(model, tx, *, loss_name: str, num_classes: int,
                                         rngs={"dropout": key})
                     losses, hist, ssum = fused_cos_tail(
                         score, label, target_embeddings, embeddings,
-                        num_classes)
+                        num_classes, mesh=mesh)
                     return jnp.sum(losses) / denom, (ssum, hist)
 
                 (loss, (score_sum, hist)), grads = jax.value_and_grad(

@@ -299,9 +299,10 @@ class FCNTrainer:
         self._train_step = make_fcn_train_step(
             model, tx, chunked_loss=getattr(cfg, "chunked_loss", False),
             grad_accum=getattr(cfg, "grad_accum", 1),
-            # GSPMD can't partition the fused-tail pallas_call; mesh runs
-            # keep the XLA tail (single-chip TPU follows SZN_FUSED_TAIL)
-            fused_tail=False if mesh is not None else None, **kw)
+            # SZN_FUSED_TAIL policy (auto: on TPU backend); under a mesh
+            # the kernel shard_maps over the batch axes per data shard
+            # (ops/costail_fused.fused_cos_tail), like the serving kernel
+            fused_tail=None, mesh=mesh, **kw)
         # fused eval = the serving inference kernel inside validation; "auto"
         # enables it on real TPU runs, single-chip or mesh (the kernel is
         # shard_mapped over the 'data' axis — ops/szn_fused._fused_call);
